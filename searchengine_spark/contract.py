@@ -1,0 +1,474 @@
+"""Driver-contract query registry: named Spark queries + matching
+ANSI-SQL oracles (DuckDB) over /root/testdata tables.
+
+Each entry exercises one operator from SURVEY.md §2 (or a
+training-data-pipeline operator) on the driver's pre-landed tables.
+Conventions that make the value-hash comparison deterministic:
+  * every computed column aliased identically on both sides;
+  * float expressions written with IDENTICAL literal structure and
+    evaluation order on both sides, then rounded (4-6 dp);
+  * money/value sums done in exact integer cents
+    (cast(round(x*100) as bigint)) — per-row rounding of identical
+    doubles is deterministic, integer sums are order-insensitive;
+  * counts cast to BIGINT on the DuckDB side (sum(BIGINT)→HUGEINT
+    otherwise), window ranks cast to BIGINT on the Spark side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# the fixed reference query for documents-table retrieval checks
+QT = ["spark", "join", "stream"]
+QT_SQL = "('spark','join','stream')"
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, term): native split/explode, no Python.
+    (S4 scan + Str2 tokenizer on a pre-cleaned corpus.)"""
+    terms = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select("doc_id", F.explode(terms).alias("term"))
+
+
+def _tf(docs: DataFrame) -> DataFrame:
+    """A1: per-doc term frequency."""
+    return _tokens(docs).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+# shared SQL prelude for token-level oracles
+_SQL_TOK = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, term
+)
+"""
+
+# --- registry ---------------------------------------------------------------
+# name -> (spark_callable, oracle_sql | None)
+_REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _reg(name: str, sql: str | None):
+    def deco(fn):
+        _REG[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# -- A1: term-frequency aggregation (reference LemmaMapper.java:15-43) -------
+@_reg(
+    "q_tf_postings",
+    f"WITH {_SQL_TOK} SELECT doc_id, term, tf FROM tf",
+)
+def q_tf_postings(spark, sf_dir):
+    return _tf(_t(spark, sf_dir, "documents"))
+
+
+# -- A2: document frequency (reference IndexingService.java:164-200) ---------
+@_reg(
+    "q_doc_frequency",
+    f"WITH {_SQL_TOK} SELECT term, count(*)::BIGINT AS df,"
+    " sum(tf)::BIGINT AS cf FROM tf GROUP BY term",
+)
+def q_doc_frequency(spark, sf_dir):
+    return (
+        _tf(_t(spark, sf_dir, "documents"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+# -- doc_stats: doclen (BM25 normalizer; no reference analog — BASELINE) -----
+@_reg(
+    "q_doc_stats",
+    f"WITH {_SQL_TOK}"
+    " SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id",
+)
+def q_doc_stats(spark, sf_dir):
+    return (
+        _tokens(_t(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("doclen"))
+    )
+
+
+# -- F4: high-DF pruning (reference ApiService.java:222-236, float intent) ---
+@_reg(
+    "q_pruned_terms",
+    f"WITH {_SQL_TOK},"
+    " dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),"
+    " n AS (SELECT count(*)::BIGINT AS c FROM documents)"
+    " SELECT term, df FROM dfx, n WHERE df * 1.0 / c <= 0.95",
+)
+def q_pruned_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dfx = _tf(docs).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dfx.crossJoin(F.broadcast(n))
+        .filter(F.col("df") * F.lit(1.0) / F.col("c") <= 0.95)
+        .select("term", "df")
+    )
+
+
+# -- J3: conjunctive relational division (ApiService.java:238-266) -----------
+_SQL_CONJ = (
+    f"m AS (SELECT doc_id FROM tf WHERE term IN {QT_SQL}"
+    f" GROUP BY doc_id HAVING count(*) = {len(QT)})"
+)
+
+
+@_reg(
+    "q_conjunctive_match",
+    f"WITH {_SQL_TOK}, {_SQL_CONJ} SELECT doc_id FROM m",
+)
+def q_conjunctive_match(spark, sf_dir):
+    tf = _tf(_t(spark, sf_dir, "documents"))
+    return (
+        tf.filter(F.col("term").isin(QT))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == len(QT))
+        .select("doc_id")
+    )
+
+
+# -- BM25 scoring (north rule; k1=1.2, b=0.75) over conjunctive matches ------
+_SQL_BM25 = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl)
+SELECT t.doc_id,
+       round(sum(
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         * tf * 2.2
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
+       ), 4) AS score
+FROM tf t
+JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+WHERE term IN {QT_SQL}
+GROUP BY t.doc_id
+HAVING count(*) = {len(QT)}
+"""
+
+
+@_reg("q_bm25_conjunctive", _SQL_BM25)
+def q_bm25_conjunctive(spark, sf_dir):
+    from .operators.search import bm25_term_score
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    w = bm25_term_score(
+        tf=F.col("tf"),
+        df=F.col("df"),
+        doclen=F.col("doclen"),
+        n_docs=F.col("n"),
+        avgdl=F.col("avgdl"),
+    )
+    return (
+        tf.filter(F.col("term").isin(QT))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx.filter(F.col("term").isin(QT))), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(w), 4).alias("score"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") == len(QT))
+        .select("doc_id", "score")
+    )
+
+
+# -- A3: legacy relevance sum/max (reference ApiService.java:130-142) --------
+@_reg(
+    "q_legacy_relevance",
+    f"WITH {_SQL_TOK}"
+    f" SELECT doc_id, round(sum(tf) * 1.0 / max(tf), 2) AS score"
+    f" FROM tf WHERE term IN {QT_SQL}"
+    f" GROUP BY doc_id HAVING count(*) = {len(QT)}",
+)
+def q_legacy_relevance(spark, sf_dir):
+    tf = _tf(_t(spark, sf_dir, "documents"))
+    return (
+        tf.filter(F.col("term").isin(QT))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("tf") * F.lit(1.0) / F.max("tf"), 2).alias("score"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") == len(QT))
+        .select("doc_id", "score")
+    )
+
+
+# -- R2/R3: deterministic top-k (integer keys → exact) ------------------------
+@_reg(
+    "q_topk_rank",
+    f"WITH {_SQL_TOK},"
+    f" m AS (SELECT doc_id, sum(tf)::BIGINT AS total_tf FROM tf"
+    f" WHERE term IN {QT_SQL} GROUP BY doc_id HAVING count(*) = {len(QT)})"
+    " SELECT doc_id, total_tf, rank FROM ("
+    "  SELECT doc_id, total_tf,"
+    "   row_number() OVER (ORDER BY total_tf DESC, doc_id ASC) AS rank FROM m)"
+    " WHERE rank <= 20",
+)
+def q_topk_rank(spark, sf_dir):
+    tf = _tf(_t(spark, sf_dir, "documents"))
+    m = (
+        tf.filter(F.col("term").isin(QT))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("total_tf"), F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == len(QT))
+    )
+    w = Window.orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "total_tf", "rank")
+    )
+
+
+# -- A5: pre-pagination match count (ApiService.java:104-113) -----------------
+@_reg(
+    "q_match_count",
+    f"WITH {_SQL_TOK}, {_SQL_CONJ}"
+    " SELECT count(*)::BIGINT AS n_matches FROM m",
+)
+def q_match_count(spark, sf_dir):
+    return q_conjunctive_match(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+# -- A4: per-site stats (StatisticsServiceImpl.java:29-78) --------------------
+@_reg(
+    "q_source_stats",
+    "SELECT source, count(*)::BIGINT AS n_docs,"
+    " sum(n_chars)::BIGINT AS total_chars FROM documents GROUP BY source",
+)
+def q_source_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# -- D1: distinct terms per language ------------------------------------------
+@_reg(
+    "q_distinct_terms",
+    f"WITH {_SQL_TOK}"
+    " SELECT lang, count(DISTINCT term)::BIGINT AS n_terms"
+    " FROM tok2 JOIN documents USING (doc_id) GROUP BY lang",
+)
+def q_distinct_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _tokens(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count_distinct("term").alias("n_terms"))
+    )
+
+
+# -- D2: exact dedup by content hash (WebPage dedup generalized) --------------
+@_reg(
+    "q_dedup_exact",
+    "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,"
+    " count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)",
+)
+def q_dedup_exact(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -- S5: point lookup by key (PageRepository.findByPath) ----------------------
+@_reg(
+    "q_point_lookup",
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def q_point_lookup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# -- S4/F5: filtered scan with range predicate --------------------------------
+@_reg(
+    "q_filter_range_scan",
+    "SELECT source, count(*)::BIGINT AS n FROM documents"
+    " WHERE lang = 'en' AND n_chars BETWEEN 100 AND 300 GROUP BY source",
+)
+def q_filter_range_scan(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & F.col("n_chars").between(100, 300))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -- J7: left-semi join (IndexingService.java:212-232) ------------------------
+@_reg(
+    "q_semi_join",
+    "SELECT s_suppkey, s_name FROM supplier s"
+    " WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)",
+)
+def q_semi_join(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return sup.join(
+        li, sup.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# -- J8: left-anti join (crawl-dedup analog, WebPage.java:57-74) ---------------
+@_reg(
+    "q_anti_join",
+    "SELECT c_custkey, c_name FROM customer c"
+    " WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# -- multi-join + agg with broadcast dims (exact integer cents) ---------------
+@_reg(
+    "q_join_agg_revenue",
+    "SELECT n_name,"
+    " sum(cast(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))"
+    "   AS revenue_cents,"
+    " count(*)::BIGINT AS n_items"
+    " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+    " JOIN orders ON o_custkey = c_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " GROUP BY n_name",
+)
+def q_join_agg_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    ).cast("long")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# -- windowed aggregation over event time (streaming analog, batch) -----------
+@_reg(
+    "q_events_hourly",
+    "SELECT date_trunc('hour', ts) AS hour, event_type,"
+    " count(*)::BIGINT AS n,"
+    " sum(cast(round(value * 100.0) AS BIGINT)) AS value_cents"
+    " FROM events GROUP BY 1, 2",
+)
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * F.lit(100.0)).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+
+
+# -- sessionization: lag + gap>30min cumsum (classic stateful analog) ---------
+@_reg(
+    "q_sessionize",
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS us,"
+    "  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    "    AS prev FROM events)"
+    " SELECT user_id, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000"
+    "  THEN 1 ELSE 0 END)::BIGINT AS n_sessions FROM e GROUP BY user_id",
+)
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is the
+    # identity instant (matches DuckDB's naive epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        "user_id", us.alias("us"), F.lag(us).over(w).alias("prev")
+    )
+    new_sess = F.when(
+        F.col("prev").isNull() | (F.col("us") - F.col("prev") > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return e.groupBy("user_id").agg(F.sum(new_sess).alias("n_sessions"))
+
+
+# -- I1: latest-row-per-key (MERGE/upsert emulation over events) ---------------
+@_reg(
+    "q_latest_event_per_user",
+    "SELECT user_id, event_id, event_type FROM ("
+    " SELECT user_id, event_id, event_type,"
+    "  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)"
+    "   AS rn FROM events) WHERE rn = 1",
+)
+def q_latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# --- public API ---------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REG.items() if sql is not None}

@@ -1,0 +1,167 @@
+"""Pure-Python text kernels — the single source of truth for semantics.
+
+These functions are used BOTH by the Spark pandas UDFs
+(searchengine_spark.functions.udfs) and by the single-node oracle
+(tests/oracle.py), which is what makes the per-row invariant
+("byte-identical extracted text per url") checkable.
+
+Reference semantics reproduced:
+  * extract_text — Jsoup wholeText + whitespace normalization
+    (reference: mapper/WebpageMapper.java:38-52): strip tags, '\n' and
+    '\t' → ' ', collapse 2+ spaces to one, strip ONE leading space.
+  * tokenize — char-class strip + lowercase + single-space split
+    (reference: mapper/LemmaMapper.java:82-111). We fix the reference's
+    untrimmed-token quirk (LemmaMapper.java:93-101 adds the substring
+    BEFORE hyphen-trim) — here the trimmed token is used, documented.
+  * lemmatize — dictionary normal forms with multi-lemma expansion and
+    POS stop-filter (reference: mapper/LemmaMapper.java:15-43,78-80).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .lemma_dict import LEMMA_DICT, STOP_POS
+
+# ---------------------------------------------------------------------------
+# extract_text (reference: mapper/WebpageMapper.java:44-52 + Jsoup wholeText)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]*>")
+_MULTISPACE_RE = re.compile(r" {2,}")
+
+# minimal entity set — the synthetic corpus only emits these; a real
+# deployment swaps in html.unescape behind the same function signature.
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # must be last
+]
+
+
+def extract_text(html: bytes | str | None) -> str | None:
+    """HTML → normalized whole text (byte-identity contract).
+
+    Steps: utf-8 decode → drop <script>/<style>/comments → strip tags →
+    unescape entities → '\n','\t'→' ' → collapse 2+ spaces → strip one
+    leading space.
+    """
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray)):
+        s = bytes(html).decode("utf-8", errors="replace")
+    else:
+        s = html
+    s = _SCRIPT_STYLE_RE.sub("", s)
+    s = _COMMENT_RE.sub("", s)
+    s = _TAG_RE.sub("", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    s = s.replace("\n", " ").replace("\t", " ")
+    s = _MULTISPACE_RE.sub(" ", s)
+    if s.startswith(" "):
+        s = s[1:]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# tokenize (reference: mapper/LemmaMapper.java:82-111)
+# ---------------------------------------------------------------------------
+
+# Generalized char class: the reference keeps only Cyrillic + '-' + ' '
+# ([А-Яа-яёЁ -], LemmaMapper.java:84); we extend with Latin+digits so the
+# engine also serves non-Russian corpora. TOKEN_MODE='ru' reproduces the
+# reference class exactly.
+_KEEP_RE = {
+    "general": re.compile(r"[^a-zа-яё0-9\- ]"),
+    "ru": re.compile(r"[^а-яё\- ]"),
+}
+
+
+def tokenize(text: str | None, mode: str = "general") -> list[str]:
+    """Lowercase, strip to char class, split on single spaces, drop
+    empty/'-'-only tokens, trim leading/trailing hyphens."""
+    if text is None:
+        return []
+    s = _KEEP_RE[mode].sub(" ", text.lower())
+    out: list[str] = []
+    for tok in s.split(" "):
+        tok = tok.strip("-")
+        if tok:
+            out.append(tok)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lemmatize (reference: mapper/LemmaMapper.java:15-43,78-80)
+# ---------------------------------------------------------------------------
+
+
+def lemmatize_token(tok: str) -> list[str]:
+    """One surface token → 0..N lemmas (multi-lemma expansion kept,
+    stop-POS candidates dropped, identity fallback for OOV)."""
+    pairs = LEMMA_DICT.get(tok)
+    if pairs is None:
+        return [tok]
+    return [lemma for lemma, pos in pairs if pos not in STOP_POS]
+
+
+def tokenize_lemmatize(text: str | None, mode: str = "general") -> list[str]:
+    """text → flattened lemma list (the per-doc token stream whose
+    counts form the postings; reference: LemmaMapper.java:15-43)."""
+    out: list[str] = []
+    for tok in tokenize(text, mode):
+        out.extend(lemmatize_token(tok))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# snippets (reference: mapper/SnippetMapper.java:13-142)
+# ---------------------------------------------------------------------------
+
+
+def make_snippet(text: str | None, query_lemmas: list[str], radius: int = 3) -> str:
+    """Highlighted snippet: find words whose lemmas hit the query, take
+    ±radius words around each hit, merge overlapping intervals, wrap
+    hits in <b>, join fragments with ' ... '.
+
+    Word-window semantics instead of the reference's char-walk
+    (SnippetMapper.java:65-93) — same product (radius words each side),
+    simpler and codepoint-safe.
+    """
+    if not text:
+        return ""
+    qset = set(query_lemmas)
+    words = text.split(" ")
+    hits: list[int] = []
+    for i, w in enumerate(words):
+        toks = tokenize(w)
+        lemmas = {lm for t in toks for lm in lemmatize_token(t)}
+        if lemmas & qset:
+            hits.append(i)
+    if not hits:
+        return ""
+    # intervals of word indices, merged when overlapping/adjacent
+    # (reference: SnippetMapper.java:29-63, SnippetIndex.java:15-18)
+    intervals: list[list[int]] = []
+    for i in hits:
+        lo, hi = max(0, i - radius), min(len(words) - 1, i + radius)
+        if intervals and lo <= intervals[-1][1] + 1:
+            intervals[-1][1] = max(intervals[-1][1], hi)
+        else:
+            intervals.append([lo, hi])
+    hitset = set(hits)
+    frags = []
+    for lo, hi in intervals:
+        frag = " ".join(
+            f"<b>{words[i]}</b>" if i in hitset else words[i] for i in range(lo, hi + 1)
+        )
+        frags.append(frag)
+    return " ... ".join(frags)

@@ -1,0 +1,46 @@
+"""Arrow-batched pandas UDFs wrapping the shared text kernels.
+
+Every Python kernel in the engine crosses the JVM↔Python boundary as an
+Arrow batch (pandas UDF) — never a row-at-a-time Python UDF
+(input_hint: "vectorized pandas/Arrow UDFs (no per-row Python)").
+The kernels themselves live in textproc.py so the oracle shares them
+verbatim (byte-identity contract).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import textproc
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """binary HTML → normalized text (reference: WebpageMapper.java:38-52)."""
+    return html.map(textproc.extract_text)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_lemmatize_udf(text: pd.Series) -> pd.Series:
+    """text → flattened lemma array (reference: LemmaMapper.java:15-43)."""
+    return text.map(textproc.tokenize_lemmatize)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(text: pd.Series) -> pd.Series:
+    """text → surface token array (no lemmatization; Str2 only)."""
+    return text.map(textproc.tokenize)
+
+
+def snippet_udf(query_lemmas: list[str], radius: int = 3):
+    """Snippet pandas UDF specialized to one query (applied post-top-k
+    only, so the closure-captured term list is tiny)."""
+    qs = list(query_lemmas)
+
+    @F.pandas_udf(T.StringType())
+    def _snip(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: textproc.make_snippet(t, qs, radius))
+
+    return _snip

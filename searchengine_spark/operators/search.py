@@ -1,0 +1,199 @@
+"""Relational BM25 / legacy search over the postings index.
+
+The flagship read path (reference: GET /api/search,
+services/ApiService.java:82-146) re-expressed as one declarative Spark
+plan:
+
+  query lemmatize (driver)                      ApiService.java:86
+  → broadcast-join term_stats        (J1)       ApiService.java:121-123
+  → high-DF prune df/N > 0.95        (F4)       ApiService.java:222-236
+  → postings ⋈ broadcast(qterms)     (J2)       ApiService.java:127
+  → k-of-n conjunctive division      (J3)       ApiService.java:238-266
+  → score: BM25 (north rule) or legacy sum/max (A3)
+                                                ApiService.java:130-142
+  → orderBy(score desc, url asc).limit(offset+k)  (R2/R3)
+                                                SearchResponse.java:25-50
+
+Physical shape: the query side is always tiny → broadcast joins; the
+only shuffles are the per-doc aggregation and the final top-k, which
+Spark plans as TakeOrderedAndProject (distributed heap — the north
+rule's "top-k heap scoring" on the relational path). Rarest-first term
+ordering (R1, ApiService.java:205-220) matters for the WAND kernel
+(index.wand); a hash-join + count division is order-insensitive.
+
+All scoring is native column math (whole-stage codegen) — no Python in
+the hot path; only query lemmatization (driver, ≤ a few tokens) and the
+post-top-k snippet UDF touch Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textproc
+from .postings import BM25_B, BM25_K1, MAX_REL_FREQ, IndexTables
+
+
+def lemmatize_query(query: str) -> list[str]:
+    """Driver-side query analysis — same kernel as the corpus UDFs.
+    Duplicate lemmas collapse (the reference's per-page lemma set
+    semantics); order preserved for rarest-first processing."""
+    seen: dict[str, None] = {}
+    for lemma in textproc.tokenize_lemmatize(query):
+        seen.setdefault(lemma)
+    return list(seen)
+
+
+def bm25_term_score(
+    tf=None,
+    df=None,
+    doclen=None,
+    n_docs=None,
+    avgdl=None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """Okapi BM25 per-(doc,term) contribution as a native Column.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))   (non-negative variant)
+    w   = idf * tf*(k1+1) / (tf + k1*(1 - b + b*doclen/avgdl))
+    """
+    tf = F.col("tf") if tf is None else tf
+    df = F.col("df") if df is None else df
+    doclen = F.col("doclen") if doclen is None else doclen
+    n_docs = F.col("n_docs") if n_docs is None else n_docs
+    avgdl = F.col("avgdl") if avgdl is None else avgdl
+    idf = F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    tf_d = tf.cast("double")
+    norm = tf_d + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * doclen / avgdl)
+    return idf * tf_d * F.lit(1.0 + k1) / norm
+
+
+def bm25_score_py(tf: int, df: int, doclen: int, n_docs: int, avgdl: float,
+                  k1: float = BM25_K1, b: float = BM25_B) -> float:
+    """Same formula in plain Python — shared by the oracle and the
+    block-max annotation kernel. Keep in lockstep with bm25_term_score."""
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    norm = tf + k1 * (1.0 - b + b * doclen / avgdl)
+    return idf * tf * (1.0 + k1) / norm
+
+
+def corpus_constants(doc_stats: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) — two scalars; cache doc_stats upstream for repeated
+    queries."""
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def surviving_terms(
+    spark,
+    term_stats: DataFrame,
+    lemmas: list[str],
+    n_docs: int,
+    max_rel_freq: float = MAX_REL_FREQ,
+) -> DataFrame:
+    """J1 + F4: query lemmas ⋈ term_stats, high-DF lemmas pruned.
+
+    Float-division intent (the reference's integer division at
+    ApiService.java:228 truncates — documented bug, fixed here).
+    A lemma absent from term_stats yields no row → conjunctive search
+    correctly returns nothing for unknown terms.
+    """
+    if not lemmas:
+        return term_stats.limit(0)
+    q = spark.createDataFrame([(t,) for t in lemmas], "term string")
+    return (
+        term_stats.join(F.broadcast(q), "term")
+        .filter(F.col("df") / F.lit(float(n_docs)) <= max_rel_freq)
+    )
+
+
+def search(
+    spark,
+    index: IndexTables,
+    query: str,
+    k: int = 20,
+    offset: int = 0,
+    site: str | None = None,
+    mode: str = "bm25",
+    conjunctive: bool = True,
+    constants: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Top-k search → DataFrame(url, doc_id, score) ordered by
+    (score desc, url asc), sliced [offset, offset+k)."""
+    lemmas = lemmatize_query(query)
+    # Site filter restricts CANDIDATES only; corpus statistics (N,
+    # avgdl, df) stay global — filtered retrieval must not change term
+    # weights. (The reference's per-site lemma table differs; this is
+    # the documented modern semantics, shared with the oracle.)
+    doc_stats = index.doc_stats
+    n_docs, avgdl = constants or corpus_constants(doc_stats)
+    if site is not None:
+        doc_stats = doc_stats.filter(F.col("site") == site)
+    if n_docs == 0 or not lemmas:
+        return _empty_results(spark)
+
+    qterms = surviving_terms(spark, index.term_stats, lemmas, n_docs)
+    n_terms = qterms.count()  # tiny (≤ len(lemmas)); broadcast side
+    if n_terms == 0:
+        return _empty_results(spark)
+
+    matched = index.postings.join(F.broadcast(qterms), "term")
+    # site filter / doclen come from doc_stats; inner join also drops
+    # postings of docs outside the site filter
+    matched = matched.join(doc_stats.select("doc_id", "url", "doclen"), "doc_id")
+
+    if mode == "bm25":
+        contrib = bm25_term_score(
+            n_docs=F.lit(float(n_docs)), avgdl=F.lit(avgdl)
+        ).alias("w")
+        per_doc = matched.select("doc_id", "url", "term", contrib).groupBy(
+            "doc_id", "url"
+        )
+        agg = per_doc.agg(
+            F.sum("w").alias("score"), F.count(F.lit(1)).alias("n_hit")
+        )
+    elif mode == "legacy":
+        # reference scoring: sum(rank)/max(rank), ApiService.java:130-142
+        agg = matched.groupBy("doc_id", "url").agg(
+            (F.sum("tf").cast("double") / F.max("tf")).alias("score"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    if conjunctive:
+        # k-of-n relational division (J3): postings are unique per
+        # (term, doc) so count == distinct-count
+        agg = agg.filter(F.col("n_hit") == n_terms)
+
+    out = agg.select("url", "doc_id", "score").orderBy(
+        F.desc("score"), F.asc("url")
+    )
+    rows_needed = offset + k
+    out = out.limit(rows_needed)  # TakeOrderedAndProject: distributed top-k heap
+    if offset:
+        # offset is a driver-side slice of the top (offset+k) rows —
+        # same as the reference's list slice (SearchResponse.java:42-50)
+        sliced = out.collect()[offset:]
+        return spark.createDataFrame(sliced, out.schema) if sliced else _empty_results(spark)
+    return out
+
+
+def match_count(spark, index: IndexTables, query: str,
+                site: str | None = None,
+                constants: tuple[int, float] | None = None) -> int:
+    """A5: total matches before pagination (reference:
+    ApiService.java:104-113)."""
+    res = search(spark, index, query, k=2**31 - 1, offset=0, site=site,
+                 constants=constants)
+    return res.count()
+
+
+def _empty_results(spark) -> DataFrame:
+    return spark.createDataFrame([], "url string, doc_id long, score double")

@@ -1,0 +1,84 @@
+"""Table schemas (fixed StructTypes) for every persistent table.
+
+Mirrors the reference's relational model re-expressed columnar
+(reference tables: site/page/lemma/website_index —
+entity/Site.java, entity/Page.java, entity/Lemma.java, entity/Index.java)
+plus the packed-index and lineage tables the north rule mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Input corpus — exact input_hint shape (BASELINE.json:15).
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# Relational postings (correctness/oracle representation).
+# reference analog: website_index(page_id, lemma_id, lemma_rank) —
+# entity/Index.java:14-31.
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+    ]
+)
+
+# Per-term stats. reference analog: lemma(site_id, lemma, frequency) —
+# entity/Lemma.java:13-30 (frequency == document frequency).
+TERM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),  # collection frequency
+    ]
+)
+
+# Per-doc stats (BM25 needs doclen; the reference stored none).
+DOC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("site", T.StringType(), True),
+        T.StructField("doclen", T.LongType(), False),
+    ]
+)
+
+# Packed posting segments: delta-gap + varbyte docID runs with
+# block-max BM25 annotations (north_rule). One row per (term, run).
+INDEX_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("run_id", T.IntegerType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),  # delta+varbyte
+        T.StructField("tfs", T.BinaryType(), False),  # varbyte
+        T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
+        T.StructField("block_max_score", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+# Build lineage / checkpoint manifest (north_rule resumability;
+# reference analog: site.status/status_time heartbeat —
+# utils/SqlUtils.java:17-19, entity/Site.java:14-36).
+BUILD_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), True),
+        T.StructField("n_tokens", T.LongType(), True),
+        T.StructField("n_postings", T.LongType(), True),
+        T.StructField("bytes_written", T.LongType(), True),
+        T.StructField("wall_sec", T.DoubleType(), True),
+    ]
+)

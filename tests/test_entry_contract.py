@@ -1,0 +1,72 @@
+"""Replicates the driver's correctness gate locally: run every
+queries() entry at sf0.01 on Spark AND its oracle_sql() on DuckDB,
+compare row count + column names + order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+NAMES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sqls = entry_mod.oracle_sql()
+    sdf = q(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if name not in sqls:
+        assert srows is not None  # rows-only check for non-SQL ops
+        return
+    res = duck.sql(sqls[name])
+    drows = res.fetchall()
+    dcols = [c for c in res.columns]
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    a = _canon([[r[c] for c in scols] for r in srows], scols)
+    b = _canon(drows, dcols)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
+    assert a == b, f"{name}: value mismatch at {mism}: {[ (a[i], b[i]) for i in mism ]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["doc_id", "score"]
