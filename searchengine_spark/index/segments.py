@@ -1,0 +1,164 @@
+"""Packed index build: postings → compressed, block-max segments.
+
+The north rule's "salted-hash-partitioned (term-sharded, skew-aware
+for stopword-heavy terms) posting-list construction": the unit of
+storage is the (term, shard) segment, where
+
+    shard = pmod(hash(doc_id), n_shards)
+
+is a single GLOBAL doc-space hash partitioning. This is simultaneously
+the salt for skew (a 98%-DF term's posting list splits evenly across
+all shards — no single applyInPandas group ever exceeds ~corpus/
+n_shards postings) and the alignment that makes query-time conjunctive
+intersection shard-local (every doc lives in exactly one shard for
+every term).
+
+Per segment we store docIDs delta-gap + varbyte compressed, tfs and
+doclens varbyte compressed, and per-block (128 postings) metadata:
+last docID (skip pointer) and the exact max float64 BM25 score
+(WAND upper bound — computed from the true per-posting scores, so it
+can never underestimate).
+
+Sizing at 10^12 docs: n_shards chosen so corpus/n_shards ≈ 64k docs
+per shard → the hottest (term, shard) group decodes to ≤64k postings,
+bounded executor memory regardless of term skew. Written partitioned
+by shard bucket with term-sorted row groups → parquet min/max stats
+prune query scans to the touched terms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.postings import IndexTables
+from ..operators.search import bm25_score_py
+from ..schemas import INDEX_SEGMENTS_SCHEMA
+from . import varbyte as vb
+
+BLOCK = 128
+DEFAULT_DOCS_PER_SHARD = 65536
+
+
+def n_shards_for(n_docs: int, docs_per_shard: int = DEFAULT_DOCS_PER_SHARD) -> int:
+    return max(1, -(-n_docs // docs_per_shard))
+
+
+def bm25_scores_np(
+    tfs: np.ndarray, doclens: np.ndarray, df: int, n_docs: int, avgdl: float,
+    k1: float = 1.2, b: float = 0.75,
+) -> np.ndarray:
+    """Vectorized BM25 per-posting scores — float64, same arithmetic as
+    operators.search.bm25_score_py (kept in lockstep)."""
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    tf = tfs.astype(np.float64)
+    norm = tf + k1 * (1.0 - b + b * doclens.astype(np.float64) / avgdl)
+    return idf * tf * (1.0 + k1) / norm
+
+
+def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int) -> pd.DataFrame:
+    """One (term, shard) group of (doc_id, tf, doclen, df) → one packed
+    segment row. Runs inside applyInPandas (Arrow batch, numpy body)."""
+    term = pdf["term"].iloc[0]
+    shard = int(pdf["shard"].iloc[0])
+    df_term = int(pdf["df"].iloc[0])
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+    doclens = pdf["doclen"].to_numpy()[order].astype(np.int64)
+    scores = bm25_scores_np(tfs, doclens, df_term, n_docs, avgdl)
+    n = len(doc_ids)
+    n_blocks = -(-n // BLOCK)
+    block_last = [int(doc_ids[min((i + 1) * BLOCK, n) - 1]) for i in range(n_blocks)]
+    block_max = [float(scores[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(n_blocks)]
+    return pd.DataFrame(
+        [
+            {
+                "term": term,
+                "shard": shard,
+                "run_id": run_id,
+                "n_docs": n,
+                "df": df_term,
+                "doc_ids": vb.delta_encode_ids(doc_ids),
+                "tfs": vb.encode_ints(tfs),
+                "doclens": vb.encode_ints(doclens),
+                "block_last_doc": block_last,
+                "block_max_score": block_max,
+            }
+        ]
+    )
+
+
+def build_segments(
+    index: IndexTables,
+    n_docs: int,
+    avgdl: float,
+    n_shards: int | None = None,
+    run_id: int = 0,
+) -> DataFrame:
+    """postings + stats → packed index_segments DataFrame."""
+    n_shards = n_shards or n_shards_for(n_docs)
+    enriched = (
+        index.postings
+        .join(index.doc_stats.select("doc_id", "doclen"), "doc_id")
+        .join(index.term_stats.select("term", "df"), "term")
+        .withColumn("shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int"))
+    )
+    return enriched.groupBy("term", "shard").applyInPandas(
+        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id),
+        schema=INDEX_SEGMENTS_SCHEMA,
+    )
+
+
+def write_segments(segments: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Partition by shard; sort by term within files so parquet min/max
+    column stats prune query-term scans."""
+    (
+        segments.repartition("shard")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def unpack_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, tfs, doclens) from a segment row (dict-like)."""
+    return (
+        vb.delta_decode_ids(bytes(row["doc_ids"])),
+        vb.decode_ints(bytes(row["tfs"])),
+        vb.decode_ints(bytes(row["doclens"])),
+    )
+
+
+def merge_runs(segments: DataFrame, n_docs: int, avgdl: float, run_id: int = 0) -> DataFrame:
+    """Multi-pass sorted posting merge (north rule): k-way merge all
+    runs of each (term, shard) into a single fresh run. Incremental
+    builds append runs with increasing run_id; compaction calls this.
+    Later runs win on duplicate doc_id (upsert semantics, I1)."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, row in pdf.sort_values("run_id").iterrows():
+            ids, tfs, dls = unpack_segment(row)
+            parts.append(
+                pd.DataFrame(
+                    {"doc_id": ids, "tf": tfs, "doclen": dls,
+                     "run_id": row["run_id"]}
+                )
+            )
+        allp = pd.concat(parts, ignore_index=True)
+        # last run wins per doc_id (MERGE/upsert)
+        allp = allp.sort_values(["doc_id", "run_id"]).drop_duplicates(
+            "doc_id", keep="last"
+        )
+        allp["term"] = pdf["term"].iloc[0]
+        allp["shard"] = pdf["shard"].iloc[0]
+        allp["df"] = pdf["df"].iloc[0]
+        return _pack_group(allp, n_docs, avgdl, run_id)
+
+    return segments.groupBy("term", "shard").applyInPandas(
+        _merge, schema=INDEX_SEGMENTS_SCHEMA
+    )

@@ -172,8 +172,10 @@ def search(
         # (term, doc) so count == distinct-count
         agg = agg.filter(F.col("n_hit") == n_terms)
 
+    # deterministic total order: (score desc, doc_id asc) — the same
+    # tie-break the packed/WAND path and the oracle use (rank-identity)
     out = agg.select("url", "doc_id", "score").orderBy(
-        F.desc("score"), F.asc("url")
+        F.desc("score"), F.asc("doc_id")
     )
     rows_needed = offset + k
     out = out.limit(rows_needed)  # TakeOrderedAndProject: distributed top-k heap

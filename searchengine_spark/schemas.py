@@ -53,17 +53,26 @@ DOC_STATS_SCHEMA = T.StructType(
 )
 
 # Packed posting segments: delta-gap + varbyte docID runs with
-# block-max BM25 annotations (north_rule). One row per (term, run).
+# block-max BM25 annotations (north_rule). One row per
+# (term, shard, run). Shard = pmod(hash(doc_id), n_shards) — a single
+# GLOBAL doc-space partitioning shared by all terms, so query-time
+# conjunctive intersection is shard-local (no cross-shard doc).
+# doclens are packed alongside tfs so query-time BM25 recomputes in
+# float64 from exact integers (rank-identity with the relational path
+# and the oracle); block_max_score is the exact per-block max of those
+# float64 scores (sound upper bound for WAND by construction).
 INDEX_SEGMENTS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("run_id", T.IntegerType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("df", T.LongType(), False),  # term DF (global)
         T.StructField("doc_ids", T.BinaryType(), False),  # delta+varbyte
         T.StructField("tfs", T.BinaryType(), False),  # varbyte
+        T.StructField("doclens", T.BinaryType(), False),  # varbyte
         T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
-        T.StructField("block_max_score", T.ArrayType(T.FloatType()), False),
+        T.StructField("block_max_score", T.ArrayType(T.DoubleType()), False),
     ]
 )
 

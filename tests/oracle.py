@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections import Counter
 
 from searchengine_spark.functions import textproc
+from searchengine_spark.functions.docid import doc_id_for_url
 from searchengine_spark.operators.search import bm25_score_py, lemmatize_query
 
 MAX_REL_FREQ = 0.95
@@ -86,7 +87,8 @@ class Oracle:
             else:
                 score = sum(hit) / max(hit)
             results.append((u, score))
-        results.sort(key=lambda r: (-r[1], r[0]))
+        # tie-break on doc_id = xxhash64(url) — identical to the engine
+        results.sort(key=lambda r: (-r[1], doc_id_for_url(r[0])))
         return results[offset : offset + k]
 
     def match_count(self, query: str, site: str | None = None) -> int:

@@ -38,11 +38,16 @@ def constants(index):
     "qid,query,site,offset,limit,mode,conj", QUERIES, ids=[str(q[0]) for q in QUERIES]
 )
 def test_rank_identity(spark, index, oracle, constants, qid, query, site, offset, limit, mode, conj):
+    from searchengine_spark.functions.docid import doc_id_for_url
+
     got = S.search(
         spark, index, query, k=limit, offset=offset, site=site,
         mode=mode, conjunctive=conj, constants=constants,
     ).collect()
-    got = sorted(((r["url"], r["score"]) for r in got), key=lambda t: (-t[1], t[0]))
+    got = sorted(
+        ((r["url"], r["score"]) for r in got),
+        key=lambda t: (-t[1], doc_id_for_url(t[0])),
+    )
     want = oracle.search(query, k=limit, offset=offset, site=site,
                          mode=mode, conjunctive=conj)
     assert [u for u, _ in got] == [u for u, _ in want], f"query {qid} rank mismatch"

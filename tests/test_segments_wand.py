@@ -1,0 +1,120 @@
+"""M2/M3: packed-segment roundtrip, block-max soundness, and
+WAND ≡ exhaustive rank/score identity (SURVEY.md §5.2.4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.index import varbyte as vb
+from searchengine_spark.index.segments import (
+    BLOCK,
+    _pack_group,
+    bm25_scores_np,
+    unpack_segment,
+)
+from searchengine_spark.index.wand import wand_shard_topk
+
+# ---------------------------------------------------------------------------
+# kernel-level property tests (no Spark session needed — fast)
+# ---------------------------------------------------------------------------
+
+
+def _mk_group(rng, term, n_postings, n_docs, df=None):
+    ids = rng.choice(n_docs * 10, size=n_postings, replace=False).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "term": term,
+            "shard": 0,
+            "doc_id": ids,
+            "tf": rng.randint(1, 20, n_postings).astype(np.int64),
+            "doclen": rng.randint(20, 200, n_postings).astype(np.int64),
+            "df": df if df is not None else n_postings,
+        }
+    )
+
+
+def test_pack_roundtrip_and_blockmax():
+    rng = np.random.RandomState(7)
+    g = _mk_group(rng, "t", 1000, 500)
+    seg = _pack_group(g, n_docs=5000, avgdl=100.0, run_id=0).iloc[0]
+    ids, tfs, dls = unpack_segment(seg)
+    want = g.sort_values("doc_id")
+    assert np.array_equal(ids, want["doc_id"].to_numpy())
+    assert np.array_equal(tfs, want["tf"].to_numpy())
+    assert np.array_equal(dls, want["doclen"].to_numpy())
+    # block-max soundness: every in-block exact score ≤ block max
+    scores = bm25_scores_np(tfs, dls, int(seg["df"]), 5000, 100.0)
+    for b, bmax in enumerate(seg["block_max_score"]):
+        blk = scores[b * BLOCK : (b + 1) * BLOCK]
+        assert (blk <= bmax + 0.0).all()
+        assert blk.max() == bmax  # exact by construction
+    assert seg["block_last_doc"][-1] == ids[-1]
+    # compression: packed ids far smaller than raw
+    assert len(seg["doc_ids"]) < ids.nbytes
+
+
+def _brute_force(groups, n_docs, avgdl, conjunctive, k):
+    """dict-based exhaustive scorer (the spec)."""
+    per_doc: dict[int, list[float]] = {}
+    for g in groups:
+        sc = bm25_scores_np(
+            g["tf"].to_numpy(), g["doclen"].to_numpy(), int(g["df"].iloc[0]),
+            n_docs, avgdl,
+        )
+        for d, s in zip(g["doc_id"].to_numpy(), sc):
+            per_doc.setdefault(int(d), []).append(float(s))
+    res = [
+        (sum(v), d)
+        for d, v in per_doc.items()
+        if (len(v) == len(groups)) or not conjunctive
+    ]
+    res.sort(key=lambda t: (-t[0], t[1]))
+    return res[:k]
+
+
+@given(st.integers(0, 10_000), st.booleans(), st.integers(1, 3))
+@settings(max_examples=60, deadline=None)
+def test_wand_equals_exhaustive(seed, conjunctive, nt):
+    rng = np.random.RandomState(seed)
+    n_docs, avgdl = 400, 80.0
+    groups = [
+        _mk_group(rng, f"t{i}", int(rng.randint(5, 200)), n_docs)
+        for i in range(nt)
+    ]
+    pdf = pd.concat(
+        [_pack_group(g, n_docs, avgdl, 0) for g in groups], ignore_index=True
+    )
+    k = int(rng.randint(1, 30))
+    got = wand_shard_topk(pdf, n_docs, avgdl, k, conjunctive, nt)
+    if conjunctive:
+        got = got[got["n_hit"] == nt]
+    got = sorted(
+        zip(got["score"].tolist(), got["doc_id"].tolist()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = _brute_force(groups, n_docs, avgdl, conjunctive, k)
+    assert [d for _, d in got] == [d for _, d in want]
+    for (gs, _), (ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_merge_runs_last_wins_kernel():
+    """Multi-run merge at query time: later run overrides tf."""
+    rng = np.random.RandomState(3)
+    g0 = _mk_group(rng, "t", 50, 100)
+    g1 = g0.iloc[:10].copy()
+    g1["tf"] = g1["tf"] + 100  # updated postings
+    seg0 = _pack_group(g0, 1000, 50.0, run_id=0)
+    seg1 = _pack_group(g1, 1000, 50.0, run_id=1)
+    pdf = pd.concat([seg0, seg1], ignore_index=True)
+    out = wand_shard_topk(pdf, 1000, 50.0, 5, False, 1)
+    # top docs must be the updated (tf+100) ones
+    from searchengine_spark.index.wand import _TermList
+
+    tl = _TermList(pdf, 1000, 50.0)
+    assert len(tl.ids) == 50  # no duplicate doc_ids after merge
+    upd = set(g1["doc_id"].tolist())
+    top = set(out.sort_values("score", ascending=False)["doc_id"].tolist()[:5])
+    assert top <= upd
