@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Measures the north-rule metric (BASELINE.json): index-build docs/sec for
+the crawl→extract→lemmatize→index→pack pipeline, plus per-query latency
+(p50/p95) for the reference query set over the packed index (block-max
+WAND + BM25), plus a handful of headline contract queries on the
+driver's `documents` table.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  BENCH_WEB_DOCS      override web-corpus size (default sf * 1e6)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def pctl(xs, q):
+    xs = sorted(xs)
+    if not xs:
+        return 0.0
+    i = min(len(xs) - 1, int(round(q * (len(xs) - 1))))
+    return xs[i]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark import contract
+    from searchengine_spark.index import wand
+    from searchengine_spark.index.segments import build_segments, write_segments
+    from searchengine_spark.operators import search as rsearch
+    from searchengine_spark.operators.postings import (
+        build_index_prepared,
+        prepare_docs,
+        read_index,
+        write_index,
+    )
+    from searchengine_spark.session import get_spark
+    from searchengine_spark.sources.corpus import write_corpus
+    from tests.queries import QUERIES
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    tmp = tempfile.mkdtemp(prefix="bench_")
+    queries: dict[str, float] = {}
+    t_total0 = time.monotonic()
+
+    # ---- north-star pipeline: web corpus -> packed index ------------------
+    n_web = int(os.environ.get("BENCH_WEB_DOCS", str(max(2000, int(sf * 1e6)))))
+    corpus_path = f"{tmp}/docs"
+    t0 = time.monotonic()
+    write_corpus(spark, n_web, corpus_path)
+    queries["gen_corpus"] = time.monotonic() - t0
+
+    docs = spark.read.parquet(corpus_path)
+    t0 = time.monotonic()
+    prepared = prepare_docs(docs, use_html=True)
+    index = build_index_prepared(prepared)
+    write_index(index, f"{tmp}/idx")
+    t_build = time.monotonic() - t0
+    queries["build_index"] = t_build
+
+    index = read_index(spark, f"{tmp}/idx")
+    n_docs, avgdl = rsearch.corpus_constants(index.doc_stats)
+    t0 = time.monotonic()
+    segs = build_segments(index, n_docs, avgdl)
+    write_segments(segs, f"{tmp}/segments")
+    t_pack = time.monotonic() - t0
+    queries["pack_segments"] = t_pack
+
+    segments = spark.read.parquet(f"{tmp}/segments").cache()
+    segments.count()
+    term_stats = index.term_stats.cache()
+    term_stats.count()
+
+    # ---- query latency: reference query set over the packed index ---------
+    lat = []
+    for qid, qtext, site, offset, limit, mode, conj in QUERIES:
+        if mode != "bm25" or site is not None or offset:
+            continue  # packed path benches the pure bm25 top-k kernel
+        t0 = time.monotonic()
+        wand.search_packed(
+            spark, segments, term_stats, n_docs, avgdl, qtext,
+            k=limit, conjunctive=conj,
+        ).collect()
+        dt = time.monotonic() - t0
+        lat.append(dt)
+        queries[f"wand_q{qid}"] = dt
+
+    # relational-path flagship query for comparison
+    t0 = time.monotonic()
+    rsearch.search(spark, index, "быстрый поиск слова", k=20,
+                   constants=(n_docs, avgdl)).collect()
+    queries["relational_bm25"] = time.monotonic() - t0
+
+    # ---- headline contract queries on the driver tables --------------------
+    for name in (
+        "q_bm25_conjunctive",
+        "q_doc_frequency",
+        "q_dedup_minhash_lsh",
+        "q_ann_cosine_topk",
+        "q_join_agg_revenue",
+    ):
+        fn = contract.queries().get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        queries[name] = time.monotonic() - t0
+
+    total = time.monotonic() - t_total0
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    out = {
+        "metric": "index-build docs/sec + query p95 (packed BM25 WAND)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in queries.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "web_docs": n_web,
+        "build_docs_per_sec": round(n_web / t_build, 1),
+        "pack_docs_per_sec": round(n_web / t_pack, 1),
+        "query_p50_sec": round(pctl(lat, 0.50), 4),
+        "query_p95_sec": round(pctl(lat, 0.95), 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
