@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""spark-submit entry point: top-k BM25 query over a built index.
+
+    spark-submit --master <...> --py-files /tmp/engine.zip \
+        scripts/query.py --index <build root> --query "быстрый поиск" \
+        [--k 20] [--mode packed|relational] [--disjunctive]
+
+--mode packed (default) runs block-max WAND over <index>/segments;
+--mode relational runs the declarative BM25 plan over <index>/idx.
+Both produce identical top-k (rank-identity is test-enforced).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True, help="build root (from build_index.py)")
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--offset", type=int, default=0)
+    ap.add_argument("--site", default=None)
+    ap.add_argument("--mode", choices=["packed", "relational"], default="packed")
+    ap.add_argument("--disjunctive", action="store_true")
+    args = ap.parse_args()
+
+    from searchengine_spark.index.wand import search_packed
+    from searchengine_spark.operators.postings import read_index
+    from searchengine_spark.operators.search import corpus_constants, search
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("query")
+    idx = read_index(spark, f"{args.index}/idx")
+    n_docs, avgdl = corpus_constants(idx.doc_stats)
+    t0 = time.time()
+    if args.mode == "packed":
+        segments = spark.read.parquet(f"{args.index}/segments")
+        out = search_packed(
+            spark, segments, idx.term_stats, n_docs, avgdl, args.query,
+            k=args.k, conjunctive=not args.disjunctive,
+        )
+    else:
+        out = search(
+            spark, idx, args.query, k=args.k, offset=args.offset,
+            site=args.site, conjunctive=not args.disjunctive,
+            constants=(n_docs, avgdl),
+        )
+    rows = out.collect()
+    dt = time.time() - t0
+    for r in rows:
+        print(r.asDict())
+    print(f"-- {len(rows)} results in {dt * 1000:.0f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -467,8 +467,16 @@ def q_latest_event_per_user(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REG.items()}
+    from . import contract_pipeline
+
+    out = {name: fn for name, (fn, _) in _REG.items()}
+    out.update(contract_pipeline.queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REG.items() if sql is not None}
+    from . import contract_pipeline
+
+    out = {name: sql for name, (_, sql) in _REG.items() if sql is not None}
+    out.update(contract_pipeline.oracle_sql())
+    return out

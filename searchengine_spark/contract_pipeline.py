@@ -1,0 +1,361 @@
+"""Driver-contract entries for the training-data-pipeline operators:
+dedup (minhash+LSH, simhash, n-gram Jaccard, embedding-cosine), ANN
+similarity search, text analysis, and multimodal plumbing.
+
+Every oracle is plain DuckDB SQL built from the SAME constants as the
+Spark kernels (functions/hashing.py, operators/similarity.py) — all
+hashing is md5-derived and all float math uses the same sequential
+operand order on both sides, then rounds at the edge, so values match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    NUM_MINHASH,
+    P31,
+    h32_sql,
+    minhash_params,
+)
+from .operators import dedup, multimodal, similarity, textstats
+from .operators.similarity import HP_A, HP_B, HP_MOD, HP_SHIFT
+
+EMB_DIM = 64
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+NEARDUP_PLANES = 4
+NEARDUP_MIN_COS = 0.5
+
+_REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _reg(name: str, sql: str | None):
+    def deco(fn):
+        _REG[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- shared SQL fragments ----------------------------------------------------
+
+# token list / shingle / shingle-hash CTEs (1-indexed lists in DuckDB,
+# 0-indexed arrays in Spark — both yield tokens[i..i+2] word trigrams)
+_SQL_SHINGLES = f"""
+tl AS (SELECT doc_id, text,
+        list_filter(string_split(text, ' '), t -> t <> '') AS ts
+       FROM documents),
+sh AS (SELECT doc_id,
+        unnest(CASE WHEN len(ts) >= {dedup.SHINGLE_W}
+          THEN list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+          ELSE [text] END) AS shingle
+       FROM tl),
+shh AS (SELECT doc_id, {h32_sql('shingle')} % {P31} AS h FROM sh)
+"""
+
+_MH_COLS = ", ".join(
+    f"min((h * {minhash_params(k)[0]} + {minhash_params(k)[1]}) % {P31}) AS mh{k}"
+    for k in range(NUM_MINHASH)
+)
+_SQL_MINHASH = f"mh AS (SELECT doc_id, {_MH_COLS} FROM shh GROUP BY doc_id)"
+
+
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Sequential-fold dot product — mirrors similarity.dot_col exactly
+    (init 0.0, left-to-right adds)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"({_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )
+
+
+def _hp_dot_sql(vec: str, i: int, dim: int = EMB_DIM) -> str:
+    """vec · hyperplane_i with the deterministic integer grid
+    hp_j = ((i·A + j·B) % MOD) - SHIFT (j 0-based)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),"
+        f" j -> {vec}[j]::DOUBLE *"
+        f" ((({i * HP_A} + (j - 1) * {HP_B}) % {HP_MOD}) - {HP_SHIFT})::DOUBLE)),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _bucket_sql(vec: str, n_planes: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_hp_dot_sql(vec, i)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"({terms})::BIGINT"
+
+
+# --- dedup -------------------------------------------------------------------
+
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, concat_ws(',', {keys}) AS key, {mhs} FROM mh".format(
+        b=b,
+        keys=", ".join(f"mh{k}" for k in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)),
+        mhs=", ".join(f"mh{k}" for k in range(NUM_MINHASH)),
+    )
+    for b in range(LSH_BANDS)
+)
+_NCOMMON = " + ".join(
+    f"(CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END)" for k in range(NUM_MINHASH)
+)
+
+_SQL_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES}, {_SQL_MINHASH},
+bands AS ({_BAND_SELECTS}),
+bsz AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+bok AS (SELECT bands.* FROM bands JOIN bsz USING (band, key) WHERE bsz.n <= 1000)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({_NCOMMON})::BIGINT AS n_common
+FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id AND ({_NCOMMON}) >= 8
+"""
+
+
+@_reg("q_dedup_minhash_lsh", _SQL_MINHASH_LSH)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+_SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2
+       GROUP BY doc_id, term),
+th AS (SELECT doc_id, tf, {h32_sql('term')} AS h FROM tf),
+bits AS (SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+         GROUP BY doc_id, j)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@_reg("q_dedup_simhash", _SQL_SIMHASH)
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_SQL_NGRAM_JACC = f"""
+WITH {_SQL_SHINGLES},
+d AS (SELECT DISTINCT doc_id, h FROM shh),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM d GROUP BY doc_id),
+dfc AS (SELECT h, count(*) AS df FROM d GROUP BY h),
+dd AS (SELECT d.* FROM d JOIN dfc USING (h) WHERE dfc.df <= 1000),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*)::BIGINT AS common
+          FROM dd a JOIN dd b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       floor(common / (sa.n + sb.n - common) * 10000.0 + 0.5)::BIGINT AS jacc_e4
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / (sa.n + sb.n - common) >= 0.5
+"""
+
+
+@_reg("q_dedup_ngram_jaccard", _SQL_NGRAM_JACC)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+_SQL_EMB_NEARDUP = f"""
+WITH wb AS (SELECT vec_id, embedding,
+             {_bucket_sql('embedding', NEARDUP_PLANES)} AS bucket
+            FROM embeddings)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor({_cos_sql('a.embedding', 'b.embedding')} * 10000.0 + 0.5)::BIGINT
+         AS cos_e4
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_MIN_COS}
+"""
+
+
+@_reg("q_dedup_embedding", _SQL_EMB_NEARDUP)
+def q_dedup_embedding(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+        min_cos=NEARDUP_MIN_COS,
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
+_SQL_ANN_BRUTE = f"""
+WITH q AS (SELECT vec_id AS q_vec_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_IDS})),
+s AS (SELECT q_vec_id, e.vec_id,
+        {_cos_sql('qv', 'e.embedding')} AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_vec_id),
+r AS (SELECT q_vec_id, vec_id, cos,
+        row_number() OVER (PARTITION BY q_vec_id
+                           ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank
+      FROM s)
+SELECT q_vec_id, vec_id, floor(cos * 10000.0 + 0.5)::BIGINT AS cos_e4, rank
+FROM r WHERE rank <= 10
+"""
+
+
+@_reg("q_ann_cosine_topk", _SQL_ANN_BRUTE)
+def q_ann_cosine_topk(spark, sf_dir):
+    return similarity.ann_brute_topk(
+        _t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10
+    )
+
+
+_SQL_ANN_LSH = f"""
+WITH wb AS (SELECT vec_id, embedding,
+             {_bucket_sql('embedding', similarity.N_PLANES)} AS bucket
+            FROM embeddings),
+q AS (SELECT vec_id AS q_vec_id, embedding AS qv, bucket AS qb FROM wb
+      WHERE vec_id IN ({_IDS})),
+s AS (SELECT q_vec_id, w.vec_id,
+        {_cos_sql('qv', 'w.embedding')} AS cos
+      FROM wb w JOIN q ON w.bucket = q.qb WHERE w.vec_id <> q.q_vec_id),
+r AS (SELECT q_vec_id, vec_id, cos,
+        row_number() OVER (PARTITION BY q_vec_id
+                           ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank
+      FROM s)
+SELECT q_vec_id, vec_id, floor(cos * 10000.0 + 0.5)::BIGINT AS cos_e4, rank
+FROM r WHERE rank <= 10
+"""
+
+
+@_reg("q_ann_lsh_bucket", _SQL_ANN_LSH)
+def q_ann_lsh_bucket(spark, sf_dir):
+    return similarity.ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, dim=EMB_DIM, k=10
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+_STOP_IN = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)
+
+_SQL_TOKEN_COUNTS = """
+WITH tl AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents)
+SELECT doc_id,
+       len(ts)::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '[a-zа-яё]+|[0-9]+|[^a-zа-яё0-9 ]'))::BIGINT AS n_re_tokens,
+       length(replace(text, ' ', ''))::BIGINT AS n_chars_nospace
+FROM tl
+"""
+
+
+@_reg("q_token_counts", _SQL_TOKEN_COUNTS)
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+_SQL_LANG_ID = f"""
+WITH tl AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents),
+m AS (SELECT doc_id, text, len(ts)::BIGINT AS n,
+        len(list_filter(ts, t -> t IN ({_STOP_IN})))::BIGINT AS stops
+      FROM tl),
+r AS (SELECT doc_id, text,
+        CASE WHEN n > 0 THEN stops / n ELSE 0.0 END AS ratio
+      FROM m)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[а-яё]') THEN 'ru'
+            WHEN ratio >= 0.03 THEN 'en' ELSE 'unk' END AS pred_lang,
+       floor(ratio * 10000.0 + 0.5)::BIGINT AS en_stop_e4
+FROM r
+"""
+
+
+@_reg("q_lang_id", _SQL_LANG_ID)
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+_SQL_QUALITY = f"""
+WITH tl AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents),
+m AS (SELECT doc_id, len(ts)::BIGINT AS n,
+        len(list_distinct(ts))::BIGINT AS uniq,
+        len(list_filter(ts, t -> t IN ({_STOP_IN})))::BIGINT AS stops
+      FROM tl WHERE len(ts) > 0)
+SELECT doc_id, n AS n_tokens,
+       floor(uniq / n * 10000.0 + 0.5)::BIGINT AS uniq_e4,
+       floor(stops / n * 10000.0 + 0.5)::BIGINT AS stop_e4,
+       floor((0.4 * least(1.0, n / 100.0)
+              + 0.3 * (uniq / n)
+              + 0.3 * (1.0 - stops / n)) * 10000.0 + 0.5)::BIGINT AS quality_e4
+FROM m
+"""
+
+
+@_reg("q_quality_score", _SQL_QUALITY)
+def q_quality_score(spark, sf_dir):
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+_SQL_FINGERPRINT = f"""
+WITH tl AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(ts, t -> {h32_sql('t')} % {P31})),
+         (acc, h) -> (acc * {textstats.FP_BASE} + h) % {P31})::BIGINT AS fp
+FROM tl
+"""
+
+
+@_reg("q_fingerprint", _SQL_FINGERPRINT)
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# --- multimodal plumbing (no SQL oracle: mapInPandas kernel; the
+# driver records the weaker rows-only check) ---------------------------------
+
+
+@_reg("q_multimodal_features", None)
+def q_multimodal_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.docs_as_assets(docs))
+
+
+# --- public ------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REG.items() if sql is not None}

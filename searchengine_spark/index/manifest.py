@@ -1,0 +1,159 @@
+"""Resumable index build: per-partition checkpoints + lineage manifest.
+
+North-rule requirement: "resumable from per-partition checkpoints with
+lineage manifests and per-partition token/posting/byte metrics".
+Reference analog: the `site.status/status_time/last_error` job-status
+rows and per-batch heartbeat (entity/Site.java:14-36,
+utils/SqlUtils.java:17-19) — generalized from one row per site to one
+manifest row per (stage, partition group).
+
+Layout under a build root:
+
+    <base>/idx/{postings,term_stats,doc_stats}   relational index
+    <base>/segments/shard=K/...                  packed runs
+    <base>/build_manifest/...                    append-only parquet
+
+The unit of work (and of restart skip) is the *shard group*: shards
+are split into `n_groups` groups; each group's segments are built and
+written in one Spark job, then its manifest row (status='done', with
+n_segments / n_postings / n_terms / bytes_written and timings) is
+appended. A restart reads the manifest, skips groups already done, and
+rebuilds only the rest — idempotent because each group owns a disjoint
+set of shard=K output partitions (dynamic partition overwrite replaces
+exactly the group's partitions on retry after a mid-group crash).
+
+Scale notes: the manifest is tiny (n_groups rows per build pass) but
+the pattern is the real one — at 10^12 docs you'd set n_groups so one
+group ≈ one executor-hour, and the same manifest doubles as the
+lineage record (input snapshot id, run id, per-group metrics) that ops
+dashboards read.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.postings import IndexTables
+from .segments import n_shards_for
+
+MANIFEST_SCHEMA = (
+    "stage string, group_id int, n_groups int, n_shards int, run_id int, "
+    "status string, started_at double, finished_at double, "
+    "n_segments long, n_postings long, n_terms long, bytes_written long"
+)
+
+
+def manifest_path(base: str) -> str:
+    return f"{base}/build_manifest"
+
+
+def read_manifest(spark: SparkSession, base: str) -> DataFrame:
+    try:
+        return spark.read.parquet(manifest_path(base))
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def completed_groups(spark: SparkSession, base: str, stage: str) -> set[int]:
+    m = read_manifest(spark, base)
+    return {
+        r["group_id"]
+        for r in m.filter(
+            (F.col("stage") == stage) & (F.col("status") == "done")
+        ).select("group_id").collect()
+    }
+
+
+def _append_row(spark: SparkSession, base: str, row: dict) -> None:
+    spark.createDataFrame([row], MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(manifest_path(base))
+
+
+def build_packed_resumable(
+    spark: SparkSession,
+    index: IndexTables,
+    base: str,
+    n_docs: int,
+    avgdl: float,
+    n_shards: int | None = None,
+    n_groups: int = 8,
+    run_id: int = 0,
+    fail_after_group: int | None = None,
+) -> DataFrame:
+    """Build <base>/segments in `n_groups` checkpointed passes; skip
+    groups already marked done in the manifest. Returns the segments
+    DataFrame. `fail_after_group` injects a crash after that group's
+    write for the kill/resume test."""
+    from .segments import INDEX_SEGMENTS_SCHEMA, _pack_group  # noqa: F401
+
+    n_shards = n_shards or n_shards_for(n_docs)
+    done = completed_groups(spark, base, "pack_segments")
+
+    enriched = (
+        index.postings
+        .join(index.doc_stats.select("doc_id", "doclen"), "doc_id")
+        .join(index.term_stats.select("term", "df"), "term")
+        .withColumn("shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int"))
+    )
+
+    # partition-overwrite so a crashed group's partial partitions are
+    # replaced, not duplicated, on retry
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    for g in range(n_groups):
+        if g in done:
+            continue
+        t0 = time.time()
+        grp = enriched.filter(F.pmod(F.col("shard"), F.lit(n_groups)) == g)
+        segs = grp.groupBy("term", "shard").applyInPandas(
+            lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id),
+            schema=INDEX_SEGMENTS_SCHEMA,
+        )
+        (
+            segs.repartition("shard")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{base}/segments")
+        )
+        # per-group metrics from the freshly written partitions
+        # (partition pruning keeps this a metadata-sized read)
+        written = spark.read.parquet(f"{base}/segments").filter(
+            F.pmod(F.col("shard"), F.lit(n_groups)) == g
+        )
+        stats = written.agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("n_docs").alias("n_postings"),
+            F.count_distinct("term").alias("n_terms"),
+            F.sum(
+                F.octet_length("doc_ids")
+                + F.octet_length("tfs")
+                + F.octet_length("doclens")
+            ).alias("bytes_written"),
+        ).collect()[0]
+        _append_row(
+            spark,
+            base,
+            {
+                "stage": "pack_segments",
+                "group_id": g,
+                "n_groups": n_groups,
+                "n_shards": n_shards,
+                "run_id": run_id,
+                "status": "done",
+                "started_at": t0,
+                "finished_at": time.time(),
+                "n_segments": int(stats["n_segments"] or 0),
+                "n_postings": int(stats["n_postings"] or 0),
+                "n_terms": int(stats["n_terms"] or 0),
+                "bytes_written": int(stats["bytes_written"] or 0),
+            },
+        )
+        if fail_after_group is not None and g == fail_after_group:
+            raise RuntimeError(f"injected failure after group {g}")
+
+    return spark.read.parquet(f"{base}/segments")

@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's only dedup is exact URL dedup in the crawl tree
+(mapper/assets/WebPage.java:57-74); a 100 TB corpus pipeline needs the
+full ladder, each expressed as declarative DataFrame ops over the
+corpus table (doc_id, text):
+
+  exact          — hash-groupBy on md5(text)               (1 shuffle)
+  minhash + LSH  — shingle → 16 minhashes → 4 LSH bands →
+                   band-bucket self-join → candidate pairs  (2 shuffles)
+  simhash        — 32-bit sign-aggregated fingerprint       (2 shuffles)
+  n-gram Jaccard — inverted shingle index self-join with
+                   exact Jaccard on common-shingle counts   (2 shuffles)
+  embedding      — cosine near-dup pairs (see similarity.py
+                   for the LSH-bucketed scale path)
+
+Scale notes (10^9+ docs):
+  * every kernel is native column math (md5/conv/aggregate/transform) —
+    whole-stage codegen, zero Python;
+  * LSH band join: bucket sizes are bounded in practice, but a
+    degenerate bucket (boilerplate pages) can square — `max_bucket`
+    caps it (drop buckets with > max_bucket members; they are
+    boilerplate by definition and handled by exact dedup instead).
+    That cap is applied BEFORE the self-join, so the shuffle is bounded;
+  * n-gram Jaccard self-join df-prunes hot shingles the same way
+    (a shingle present in >max_df docs contributes no discriminative
+    signal — standard df-cut);
+  * all hashing is md5-derived (functions/hashing.py) so the DuckDB
+    oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import LSH_BANDS, LSH_ROWS, NUM_MINHASH, P31, h32, minhash_params
+
+SHINGLE_W = 3  # word trigrams
+
+
+def tokens_col(text: Column) -> Column:
+    """text → array of non-empty whitespace tokens (native)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def shingles_col(text: Column) -> Column:
+    """Word-trigram shingles; whole text when < 3 tokens.
+    1:1 with the oracle's list_transform over 1-indexed arrays."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_W),
+        lambda i: F.concat_ws(
+            " ", toks[i], toks[i + 1], toks[i + 2]
+        ),
+    )
+    return F.when(n >= SHINGLE_W, tri).otherwise(F.array(text))
+
+
+def exact_dedup_groups(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Exact dedup: (text_hash, keep_doc_id, n_copies). Keeps min
+    doc_id per group — deterministic survivor choice."""
+    return docs.groupBy(F.md5(text).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, mh0..mh{15}): 16-permutation minhash of word-trigram
+    shingles. One explode + one groupBy — the groupBy keys on doc_id so
+    hot shingles never skew a reducer."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text))).alias("shingle")
+    ).select("doc_id", (h32(F.col("shingle")) % P31).alias("h"))
+    aggs = []
+    for k in range(NUM_MINHASH):
+        a, b = minhash_params(k)
+        aggs.append(
+            F.min((F.col("h") * a + b) % P31).alias(f"mh{k}")
+        )
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    min_common: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: (doc_a, doc_b, n_common) where
+    n_common = # equal minhash components (of 16; estimates Jaccard as
+    n_common/16). Docs pair iff they collide in ≥1 of 4 bands of 4.
+
+    Self-join is per (band, band-key) bucket; `max_bucket` bounds the
+    quadratic blowup of degenerate buckets (see module docstring).
+    """
+    sig = minhash_signatures(docs, text)
+    mh = [F.col(f"mh{k}") for k in range(NUM_MINHASH)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[c.cast("string") for c in mh[b * LSH_ROWS : (b + 1) * LSH_ROWS]]
+                ).alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    sigb = sig.select("doc_id", *[c for c in mh], F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), *mh
+    )
+    # df-cut degenerate buckets before the self-join
+    sizes = sigb.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+    sigb = sigb.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)),
+        ["band", "key"],
+        "left_anti",
+    )
+    left = sigb.select(
+        "band", "key", F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"la{k}") for k in range(NUM_MINHASH)],
+    )
+    right = sigb.select(
+        "band", "key", F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"lb{k}") for k in range(NUM_MINHASH)],
+    )
+    eq = sum(
+        F.when(F.col(f"la{k}") == F.col(f"lb{k}"), 1).otherwise(0)
+        for k in range(NUM_MINHASH)
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", eq.cast("long").alias("n_common"))
+        .distinct()
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash — per bit j, sign of
+    Σ_term tf·(±1 by bit j of h32(term)); near-dups differ in few bits
+    (Hamming). Explode over 32 bit positions keeps it one groupBy."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(F.col(text))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", "tf", h32(F.col("term")).alias("h"))
+    )
+    bits = tf.select(
+        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    ).select(
+        "doc_id",
+        "j",
+        (
+            F.col("tf")
+            * (F.expr("shiftright(h, j) & 1") * 2 - 1)
+        ).alias("w"),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    min_jaccard: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    (doc_a, doc_b, jacc) with jacc = |A∩B| / (|A|+|B|-|A∩B|) over
+    DISTINCT trigram-shingle hash sets, jacc rounded to 4 dp.
+
+    Hot shingles (df > max_df) are cut before the self-join — they are
+    boilerplate, carry no pair signal, and would square the shuffle.
+    """
+    sh = (
+        docs.select("doc_id", F.explode(shingles_col(F.col(text))).alias("shingle"))
+        .select("doc_id", (h32(F.col("shingle")) % P31).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfc = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh.join(F.broadcast(dfc.filter(F.col("df") > max_df)), "h", "left_anti")
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes_a = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sizes_b = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    jacc = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(sizes_a), "doc_a")
+        .join(F.broadcast(sizes_b), "doc_b")
+        .filter(jacc >= min_jaccard)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(jacc * 10000.0 + F.lit(0.5)).cast("long").alias("jacc_e4"),
+        )
+    )
