@@ -93,11 +93,11 @@ def build_packed_resumable(
     n_shards = n_shards or n_shards_for(n_docs)
     done = completed_groups(spark, base, "pack_segments")
 
-    enriched = (
-        index.postings
-        .join(index.doc_stats.select("doc_id", "doclen"), "doc_id")
-        .join(index.term_stats.select("term", "df"), "term")
-        .withColumn("shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int"))
+    # shard derives from doc_id alone — computed BEFORE the joins so the
+    # per-group filter prunes the postings scan and each group job joins
+    # only its 1/n_groups slice
+    sharded = index.postings.withColumn(
+        "shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
     )
 
     # partition-overwrite so a crashed group's partial partitions are
@@ -108,7 +108,11 @@ def build_packed_resumable(
         if g in done:
             continue
         t0 = time.time()
-        grp = enriched.filter(F.pmod(F.col("shard"), F.lit(n_groups)) == g)
+        grp = (
+            sharded.filter(F.pmod(F.col("shard"), F.lit(n_groups)) == g)
+            .join(index.doc_stats.select("doc_id", "doclen"), "doc_id")
+            .join(index.term_stats.select("term", "df"), "term")
+        )
         segs = grp.groupBy("term", "shard").applyInPandas(
             lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id),
             schema=INDEX_SEGMENTS_SCHEMA,

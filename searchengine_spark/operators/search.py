@@ -187,6 +187,44 @@ def search(
     return out
 
 
+def search_with_snippets(
+    spark,
+    index: IndexTables,
+    docs_text: DataFrame,
+    query: str,
+    k: int = 20,
+    offset: int = 0,
+    site: str | None = None,
+    mode: str = "bm25",
+    radius: int = 3,
+    constants: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Full reference search response (ApiService.java:82-146 +
+    SnippetMapper.java:13-142): top-k + highlighted snippet per hit.
+
+    `docs_text` is any frame with (doc_id, text) — e.g. prepare_docs
+    output. The snippet pandas UDF runs on ≤ k rows only (the top-k
+    frame is broadcast into the corpus join, so the scan that fetches
+    text for the winners is a broadcast-semi join, never a shuffle of
+    the corpus)."""
+    from ..functions.udfs import snippet_udf
+
+    winners = search(
+        spark, index, query, k=k, offset=offset, site=site, mode=mode,
+        constants=constants,
+    )
+    lemmas = lemmatize_query(query)
+    snip = snippet_udf(lemmas, radius)
+    return (
+        docs_text.select("doc_id", "text")
+        .join(F.broadcast(winners), "doc_id")
+        .select(
+            "url", "doc_id", "score", snip(F.col("text")).alias("snippet")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def match_count(spark, index: IndexTables, query: str,
                 site: str | None = None,
                 constants: tuple[int, float] | None = None) -> int:
