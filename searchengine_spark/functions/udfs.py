@@ -34,6 +34,37 @@ def tokenize_udf(text: pd.Series) -> pd.Series:
     return text.map(textproc.tokenize)
 
 
+_TERM_COUNTS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_TERM_COUNTS_TYPE)
+def term_counts_udf(text: pd.Series) -> pd.Series:
+    """text → per-doc (term, tf) pairs — the reference's per-page TF
+    map (LemmaMapper.java:15-43) computed where it is local: inside
+    the document. Term frequency needs no cross-partition aggregation
+    (each doc lives in one row), so counting here removes the entire
+    exploded-token shuffle AND shrinks the Arrow return payload from
+    one element per token to one per distinct term (~15×)."""
+    from collections import Counter
+
+    def f(t):
+        if t is None:
+            return []
+        return [
+            {"term": k, "tf": v}
+            for k, v in Counter(textproc.tokenize_lemmatize(t)).items()
+        ]
+
+    return text.map(f)
+
+
 def snippet_udf(query_lemmas: list[str], radius: int = 3):
     """Snippet pandas UDF specialized to one query (applied post-top-k
     only, so the closure-captured term list is tiny)."""

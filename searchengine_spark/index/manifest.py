@@ -90,7 +90,10 @@ def build_packed_resumable(
     write for the kill/resume test."""
     from .segments import INDEX_SEGMENTS_SCHEMA, _pack_group  # noqa: F401
 
-    n_shards = n_shards or n_shards_for(n_docs)
+    if n_shards is None:
+        n_shards = n_shards_for(
+            n_docs, min_parallelism=spark.sparkContext.defaultParallelism
+        )
     done = completed_groups(spark, base, "pack_segments")
 
     # shard derives from doc_id alone — computed BEFORE the joins so the

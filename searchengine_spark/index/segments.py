@@ -42,8 +42,18 @@ BLOCK = 128
 DEFAULT_DOCS_PER_SHARD = 65536
 
 
-def n_shards_for(n_docs: int, docs_per_shard: int = DEFAULT_DOCS_PER_SHARD) -> int:
-    return max(1, -(-n_docs // docs_per_shard))
+def n_shards_for(
+    n_docs: int,
+    docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
+    min_parallelism: int = 1,
+) -> int:
+    """Shard count = max(corpus/docs_per_shard, cluster parallelism).
+    The first term bounds per-group memory at huge N; the second keeps
+    the pack kernel, the segment write, and the per-shard WAND query
+    kernel parallel even when the corpus is smaller than
+    cores × docs_per_shard (otherwise a small build collapses to ONE
+    task and scaling dies)."""
+    return max(1, -(-n_docs // docs_per_shard), min_parallelism)
 
 
 def bm25_scores_np(
@@ -99,7 +109,9 @@ def build_segments(
     run_id: int = 0,
 ) -> DataFrame:
     """postings + stats → packed index_segments DataFrame."""
-    n_shards = n_shards or n_shards_for(n_docs)
+    if n_shards is None:
+        par = index.postings.sparkSession.sparkContext.defaultParallelism
+        n_shards = n_shards_for(n_docs, min_parallelism=par)
     enriched = (
         index.postings
         .join(index.doc_stats.select("doc_id", "doclen"), "doc_id")

@@ -112,10 +112,17 @@ def _theta_seed(lists: list[_TermList], k: int) -> float:
 
 
 def _topk_frame(cand, scores, n_hit, k: int) -> pd.DataFrame:
-    if len(cand) > k:
-        # per-shard top-k heap: argpartition = O(n) selection
-        sel = np.argpartition(-scores, k - 1)[:k]
-        cand, scores, n_hit = cand[sel], scores[sel], n_hit[sel]
+    n = len(cand)
+    if n > k:
+        # O(n) selection of the k-th score, keep ALL ties at the
+        # boundary, then resolve them by the global total order
+        # (score desc, doc_id asc) — dropping an arbitrary tied doc
+        # here would break rank-identity after the cross-shard merge
+        kth = np.partition(scores, n - k)[n - k]
+        keep = scores >= kth
+        cand, scores, n_hit = cand[keep], scores[keep], n_hit[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        cand, scores, n_hit = cand[order], scores[order], n_hit[order]
     return pd.DataFrame(
         {"doc_id": cand.astype(np.int64), "score": scores,
          "n_hit": n_hit.astype(np.int32)}
@@ -198,6 +205,7 @@ def search_packed(
     k: int = 20,
     conjunctive: bool = True,
     max_rel_freq: float = 0.95,
+    df_map: dict | None = None,
 ) -> DataFrame:
     """Top-k over the packed index → DataFrame(doc_id, score).
 
@@ -205,14 +213,21 @@ def search_packed(
     + shard partitioning) → one applyInPandas kernel per shard →
     global TakeOrderedAndProject of ≤ n_shards·k rows. Two shuffles
     total, both tiny.
+
+    `df_map` (term → df): pass a pre-collected dictionary to skip the
+    per-query term_stats lookup job — a query server collects it once
+    (or holds the broadcast) and serves every query from it.
     """
     lemmas = lemmatize_query(query)
     if not lemmas:
         return spark.createDataFrame([], "doc_id long, score double")
-    stats = {
-        r["term"]: r["df"]
-        for r in term_stats.filter(F.col("term").isin(lemmas)).collect()
-    }
+    if df_map is not None:
+        stats = {t: df_map[t] for t in lemmas if t in df_map}
+    else:
+        stats = {
+            r["term"]: r["df"]
+            for r in term_stats.filter(F.col("term").isin(lemmas)).collect()
+        }
     # F4 pruning + absent-term drop — same contract as the relational
     # path and the oracle (reference: ApiService.java:121-126,222-236 —
     # lemmas not found in the dictionary simply vanish from the query)

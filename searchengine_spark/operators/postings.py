@@ -90,6 +90,31 @@ def prepare_docs_native(
     return docs.select(did, url, site, lemmas)
 
 
+def prepare_docs_counts(docs: DataFrame, use_html: bool = True) -> DataFrame:
+    """Corpus → deduped (doc_id, url, site, term_counts) with the
+    per-doc TF map computed in the UDF (see materialize_index).
+
+    Dedup (D2) runs AFTER the UDF on purpose: dedup-first would
+    shuffle the full html+text blobs (the whole corpus) through the
+    exchange, while dedup-after shuffles only (doc_id, url, site,
+    term_counts) — ~3× less bytes — and lets the UDF run map-side
+    straight off the scan. Duplicate urls carry identical text, so
+    which copy survives is irrelevant; doc_id = xxhash64(url) makes
+    the dedup key a fixed-width long."""
+    from ..functions.udfs import extract_text_udf, term_counts_udf
+
+    text_col = extract_text_udf(F.col("html")) if use_html else F.col("text")
+    return (
+        docs.select(
+            F.xxhash64("url").alias("doc_id"),
+            "url",
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),
+            term_counts_udf(text_col).alias("term_counts"),
+        )
+        .dropDuplicates(["doc_id"])
+    )
+
+
 def build_postings(prepared: DataFrame) -> DataFrame:
     """(doc_id, lemmas[]) → postings(term, doc_id, tf). A1."""
     return (
@@ -131,11 +156,102 @@ def build_index(docs: DataFrame, use_html: bool = False) -> IndexTables:
     return build_index_prepared(prepare_docs(docs, use_html=use_html))
 
 
+def materialize_index(
+    spark, docs: DataFrame, base_path: str, use_html: bool = True,
+    prepared: DataFrame | None = None,
+) -> IndexTables:
+    """Single-pass index materialization — the production build path.
+
+    The lazy build_index() DAG re-runs the extract/tokenize UDFs for
+    every downstream action (postings, term_stats and doc_stats are
+    three separate writes ⇒ 3× the Python work). Here the token stream
+    crosses the Python boundary exactly ONCE:
+
+      1. prepared → postings parquet            (the only UDF pass)
+      2. postings parquet → term_stats          (columnar re-scan)
+      3. postings parquet → doclen ⟕ docs meta → doc_stats
+         (docs meta = doc_id/url/site — column pruning removes the
+         text/html columns AND the UDFs from this scan entirely)
+
+    TF is computed INSIDE the UDF (per-doc Counter — the reference's
+    per-page TF map, LemmaMapper.java:15-43): term frequency is
+    doc-local, so the exploded-token groupBy(term, doc_id) shuffle of
+    the lazy path (|tokens| rows ≈ 15× |postings|) never happens; the
+    only wide op left is the salted layout repartition of the final
+    postings.
+
+    doclen = Σ tf per doc ≡ size(lemmas) (same post-stop-filter token
+    count); docs with zero lemmas keep doclen = 0 via the left join.
+    """
+    from ..functions.udfs import term_counts_udf
+
+    if prepared is None:
+        prepared = prepare_docs_counts(docs, use_html=use_html)
+    elif "term_counts" not in prepared.columns:
+        prepared = prepared.select(
+            "doc_id", "url", "site",
+            term_counts_udf(F.col("text")).alias("term_counts"),
+        )
+    (
+        prepared.select(
+            "doc_id", F.explode("term_counts").alias("tc")
+        )
+        .select("doc_id", F.col("tc.term").alias("term"),
+                F.col("tc.tf").alias("tf"))
+        .repartition(F.col("term"), _salt_col())
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{base_path}/postings")
+    )
+    postings = spark.read.parquet(f"{base_path}/postings")
+
+    def _write_term_stats():
+        build_term_stats(postings).write.mode("overwrite").parquet(
+            f"{base_path}/term_stats"
+        )
+
+    def _write_doc_stats():
+        doclen = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("doclen")
+        )
+        meta = prepared.select("doc_id", "url", "site")  # UDFs pruned out
+        (
+            meta.join(doclen, "doc_id", "left")
+            .fillna(0, subset=["doclen"])
+            .repartition("doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{base_path}/doc_stats")
+        )
+
+    # independent derived tables — submit as concurrent Spark jobs so
+    # their fixed job/commit latencies overlap (FAIR-ish pipelining;
+    # both read the just-written postings parquet)
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(_write_term_stats), ex.submit(_write_doc_stats)]
+        for f in futs:
+            f.result()
+    return read_index(spark, base_path)
+
+
+def _salt_col(n_salts: int = 64):
+    """Skew salt for the postings layout shuffle (north rule:
+    "salted-hash-partitioned, skew-aware for stopword-heavy terms").
+    A ~98%-DF stopword's postings ≈ the corpus size; partitioning by
+    term alone serializes that term's sort+write on ONE task. Salting
+    by hash(doc_id)%n spreads every hot term across n writers while
+    sortWithinPartitions('term','doc_id') keeps each file term-sorted,
+    so parquet min/max row-group pruning on term still works."""
+    return F.pmod(F.hash("doc_id"), F.lit(n_salts))
+
+
 def write_index(tables: IndexTables, base_path: str) -> None:
     """Persist the relational index. postings sorted within term so
     parquet min/max stats give term-range pruning on scan."""
     (
-        tables.postings.repartition("term")
+        tables.postings.repartition(F.col("term"), _salt_col())
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(f"{base_path}/postings")

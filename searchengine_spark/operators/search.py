@@ -138,12 +138,20 @@ def search(
     if n_docs == 0 or not lemmas:
         return _empty_results(spark)
 
-    qterms = surviving_terms(spark, index.term_stats, lemmas, n_docs)
-    n_terms = qterms.count()  # tiny (≤ len(lemmas)); broadcast side
+    # collect the surviving terms (≤ a few rows) so the literal term
+    # list can be PUSHED INTO the postings parquet scan — row-group
+    # pruning via term min/max stats (postings are written term-sorted,
+    # postings.write_index) instead of a full scan feeding the join
+    qrows = surviving_terms(spark, index.term_stats, lemmas, n_docs).collect()
+    n_terms = len(qrows)
     if n_terms == 0:
         return _empty_results(spark)
+    qterms = spark.createDataFrame(qrows)
+    term_list = [r["term"] for r in qrows]
 
-    matched = index.postings.join(F.broadcast(qterms), "term")
+    matched = index.postings.filter(
+        F.col("term").isin(term_list)
+    ).join(F.broadcast(qterms), "term")
     # site filter / doclen come from doc_stats; inner join also drops
     # postings of docs outside the site filter
     matched = matched.join(doc_stats.select("doc_id", "url", "doclen"), "doc_id")

@@ -31,6 +31,11 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     sp = shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    try:
+        n_cores = int(master.split("[")[1].rstrip("]*")) if "[" in master else 32
+    except ValueError:
+        n_cores = 32
+    _driver_mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(12, n_cores)}g")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
@@ -40,10 +45,26 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # heap ∝ concurrent tasks (local mode: driver == executor) —
+        # ~1 GB/core. Undersized heaps GC-thrash once 32 tasks sort
+        # concurrently; oversized LAZILY-committed heaps stall mid-job
+        # under this hypervisor, so Xms=Xmx + AlwaysPreTouch moves the
+        # commit cost to (untimed) session startup
+        .config("spark.driver.memory", _driver_mem)
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{_driver_mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill to tmpfs when available — stands in for the
+    # per-node NVMe scratch a real cluster would configure; /tmp (the
+    # VM's virtual disk) showed shuffle I/O as a hard serial floor.
+    shm = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     # Only pin master when not already launched under spark-submit --master.
     if "SPARK_SUBMIT_MASTER" not in os.environ:
         builder = builder.master(master)

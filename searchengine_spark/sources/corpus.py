@@ -65,9 +65,11 @@ def _zipf_probs(n: int) -> np.ndarray:
     return p / p.sum()
 
 
-def _doc_words(rng: np.random.RandomState, lang: str) -> list[str]:
+def _doc_words(
+    rng: np.random.RandomState, lang: str, words_scale: int = 1
+) -> list[str]:
     pool = _pool(lang)
-    n = int(rng.randint(30, 121))
+    n = int(rng.randint(30, 121)) * words_scale
     idx = rng.choice(len(pool), size=n, p=_zipf_probs(len(pool)))
     words = [pool[i] for i in idx]
     # engineered ~98%-DF term (skew + F4 pruning target)
@@ -113,10 +115,10 @@ def _decorate_html(title: str, body_words: list[str], rng: np.random.RandomState
     )
 
 
-def _gen_one(row_id: int) -> dict:
+def _gen_one(row_id: int, words_scale: int = 1) -> dict:
     rng = np.random.RandomState((SEED * 1_000_003 + row_id) % (2**31 - 1))
     lang = "ru" if rng.rand() < 0.6 else "en"
-    words = _doc_words(rng, lang)
+    words = _doc_words(rng, lang, words_scale)
     title = " ".join(words[:3])
     body = " ".join(words)
     # NOTE on layout: title appears once in <title> (stripped with head
@@ -134,8 +136,10 @@ def _gen_one(row_id: int) -> dict:
     }
 
 
-def gen_rows(row_ids) -> list[dict]:
+def gen_rows(row_ids, words_scale: int = 1) -> list[dict]:
     """Deterministic rows for the given ids (any order, any subset).
+    `words_scale` multiplies document length (heavier per-doc work for
+    scaling benchmarks; default 1 = the test corpus).
 
     Duplication rules (id-local, so they work under any partitioning):
       * id % 37 == 1 and id >= 37: verbatim full-row duplicate of id-1
@@ -147,17 +151,17 @@ def gen_rows(row_ids) -> list[dict]:
     for rid in row_ids:
         rid = int(rid)
         if rid % 37 == 1 and rid >= 37:
-            out.append(_gen_one(rid - 1))
+            out.append(_gen_one(rid - 1, words_scale))
         elif rid % 23 == 2 and rid >= 23:
-            base = _gen_one(rid - 2)
+            base = _gen_one(rid - 2, words_scale)
             text = base["text"] + " extra words"
-            row = _gen_one(rid)  # own url/ts/lang
+            row = _gen_one(rid, words_scale)  # own url/ts/lang
             row["text"] = text
             # minimal html keeps the extract_text(html) == text invariant
             row["html"] = ("<html><body><p>" + text + "</p></body></html>").encode("utf-8")
             out.append(row)
         else:
-            out.append(_gen_one(rid))
+            out.append(_gen_one(rid, words_scale))
     return out
 
 
@@ -166,7 +170,8 @@ def corpus_rows(n_docs: int) -> list[dict]:
     return gen_rows(range(n_docs))
 
 
-def corpus_df(spark, n_docs: int, n_partitions: int | None = None):
+def corpus_df(spark, n_docs: int, n_partitions: int | None = None,
+              words_scale: int = 1):
     """Distributed corpus DataFrame in the exact input_hint shape."""
     from ..schemas import DOCS_SCHEMA
 
@@ -174,7 +179,7 @@ def corpus_df(spark, n_docs: int, n_partitions: int | None = None):
 
     def gen(batches):
         for pdf in batches:
-            rows = gen_rows(pdf["id"].to_numpy())
+            rows = gen_rows(pdf["id"].to_numpy(), words_scale)
             yield pd.DataFrame(rows)
 
     return (
@@ -183,5 +188,8 @@ def corpus_df(spark, n_docs: int, n_partitions: int | None = None):
     )
 
 
-def write_corpus(spark, n_docs: int, path: str) -> None:
-    corpus_df(spark, n_docs).write.mode("overwrite").parquet(path)
+def write_corpus(spark, n_docs: int, path: str,
+                 words_scale: int = 1) -> None:
+    corpus_df(spark, n_docs, words_scale=words_scale).write.mode(
+        "overwrite"
+    ).parquet(path)
