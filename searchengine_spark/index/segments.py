@@ -145,6 +145,52 @@ def unpack_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+def delta_segments(
+    delta_prepared: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    n_shards: int,
+    run_id: int,
+) -> DataFrame:
+    """Incremental update (reference I1, single-page reindex
+    IndexingService.java:71-95): a small batch of new/changed docs →
+    packed segments tagged with a NEW run_id, appended alongside the
+    base run. Query-time _TermList merges runs last-wins (upsert), so
+    updated docs take effect without rewriting the base index;
+    merge_runs() compacts when runs accumulate.
+
+    df/doclen statistics for the delta reuse the BASE corpus stats
+    (n_docs, avgdl, term df) — the standard approximation for small
+    deltas; a stats refresh pass re-aggregates exactly (idempotent,
+    no ±1 mutation — SURVEY §3.3)."""
+    postings = (
+        delta_prepared.select(
+            "doc_id", F.explode("term_counts").alias("tc")
+        )
+        .select("doc_id", F.col("tc.term").alias("term"),
+                F.col("tc.tf").alias("tf"))
+    )
+    doclen = delta_prepared.select(
+        "doc_id",
+        F.aggregate(
+            "term_counts", F.lit(0), lambda acc, tc: acc + tc["tf"]
+        ).cast("long").alias("doclen"),
+    )
+    enriched = (
+        postings.join(doclen, "doc_id")
+        .join(term_stats.select("term", "df"), "term", "left")
+        .fillna(1, subset=["df"])  # unseen term: df ≥ 1 once this doc lands
+        .withColumn(
+            "shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
+        )
+    )
+    return enriched.groupBy("term", "shard").applyInPandas(
+        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id),
+        schema=INDEX_SEGMENTS_SCHEMA,
+    )
+
+
 def merge_runs(segments: DataFrame, n_docs: int, avgdl: float, run_id: int = 0) -> DataFrame:
     """Multi-pass sorted posting merge (north rule): k-way merge all
     runs of each (term, shard) into a single fresh run. Incremental

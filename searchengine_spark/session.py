@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # UDF-heavy scans want fine-grained splits: more waves → less
+        # straggler loss, and each Python worker holds a smaller batch
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
         # heap ∝ concurrent tasks (local mode: driver == executor) —
         # ~1 GB/core. Undersized heaps GC-thrash once 32 tasks sort
         # concurrently; oversized LAZILY-committed heaps stall mid-job
