@@ -220,7 +220,8 @@ def search_packed(
     """
     lemmas = lemmatize_query(query)
     if not lemmas:
-        return spark.createDataFrame([], "doc_id long, score double")
+        from ..operators.search import empty_df
+        return empty_df(spark, "doc_id long, score double")
     if df_map is not None:
         stats = {t: df_map[t] for t in lemmas if t in df_map}
     else:
@@ -236,7 +237,8 @@ def search_packed(
         if t in stats and stats[t] / float(n_docs) <= max_rel_freq
     ]
     if not terms:
-        return spark.createDataFrame([], "doc_id long, score double")
+        from ..operators.search import empty_df
+        return empty_df(spark, "doc_id long, score double")
     n_terms = len(terms)
 
     seg = segments.filter(F.col("term").isin(terms))

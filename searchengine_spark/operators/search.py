@@ -243,5 +243,17 @@ def match_count(spark, index: IndexTables, query: str,
     return res.count()
 
 
+def empty_df(spark, cols: str) -> DataFrame:
+    """Zero-row frame as a LocalRelation (pure SQL) — avoids the RDD
+    parallelize path createDataFrame([]) takes (~2 s cold), so empty
+    query results (stop-only / pruned / absent terms) return in
+    milliseconds. `cols` = 'name type, ...'."""
+    select = ", ".join(
+        f"CAST(NULL AS {t}) AS {n}"
+        for n, t in (c.strip().rsplit(" ", 1) for c in cols.split(","))
+    )
+    return spark.sql(f"SELECT {select} WHERE 1=0")
+
+
 def _empty_results(spark) -> DataFrame:
-    return spark.createDataFrame([], "url string, doc_id long, score double")
+    return empty_df(spark, "url string, doc_id long, score double")
