@@ -135,6 +135,18 @@ def main() -> None:
         "query_p50_sec": round(pctl(lat, 0.50), 4),
         "query_p95_sec": round(pctl(lat, 0.95), 4),
     }
+    # latest two-cluster-size scaling evidence (scripts/scaling.py →
+    # SCALING.json; see BASELINE.md "Measured results")
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    try:
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling_efficiency_n_to_4n"] = s["build_scaling_efficiency"]
+        out["scaling_levels_cores"] = sorted(int(k) for k in s["levels"])
+        out["scaling_docs"] = s["corpus"]["docs"]
+    except (OSError, KeyError, ValueError):
+        pass
     print(json.dumps(out))
 
 

@@ -249,6 +249,60 @@ def q_bm25_disjunctive(spark, sf_dir):
     )
 
 
+# -- site-filtered search (reference per-site scoping, ApiService.java:88-98;
+#    candidates restricted, corpus statistics stay global) -------------------
+_SQL_BM25_SITE = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl)
+SELECT t.doc_id,
+       floor(sum(
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         * tf * 2.2
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
+       ) * 10000.0 + 0.5)::BIGINT AS score_e4
+FROM tf t
+JOIN documents d USING (doc_id)
+JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+WHERE term IN {QT_SQL} AND d.source = 'src3'
+GROUP BY t.doc_id
+HAVING count(*) = {len(QT)}
+"""
+
+
+@_reg("q_bm25_site_filtered", _SQL_BM25_SITE)
+def q_bm25_site_filtered(spark, sf_dir):
+    from .operators.search import bm25_term_score
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    site_docs = docs.filter(F.col("source") == "src3").select("doc_id")
+    return (
+        tf.filter(F.col("term").isin(QT))
+        .join(site_docs, "doc_id")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx.filter(F.col("term").isin(QT))), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w) * 10000.0 + F.lit(0.5)).cast("long").alias("score_e4"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") == len(QT))
+        .select("doc_id", "score_e4")
+    )
+
+
 # -- A3: legacy relevance sum/max (reference ApiService.java:130-142) --------
 @_reg(
     "q_legacy_relevance",

@@ -350,6 +350,31 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.docs_as_assets(docs))
 
 
+# --- snippets (Str4-Str8; pandas UDF post-top-k — no SQL oracle) ------------
+
+
+@_reg("q_search_snippets", None)
+def q_search_snippets(spark, sf_dir):
+    """Full search response with highlighted snippets over the
+    documents table (reference ApiService.java:141 + SnippetMapper):
+    index built in-query (small table), conjunctive BM25 top-10, then
+    the snippet kernel on the winners only."""
+    from .operators.postings import build_index_prepared, prepare_docs_native
+    from .operators.search import corpus_constants, search_with_snippets
+
+    docs = _t(spark, sf_dir, "documents")
+    # lemmas for the index + raw text kept for the snippet kernel
+    prepared = prepare_docs_native(
+        docs, doc_id_col="doc_id", text_col="text", site_col="source"
+    ).join(docs.select("doc_id", "text"), "doc_id")
+    idx = build_index_prepared(prepared)
+    constants = corpus_constants(idx.doc_stats)
+    return search_with_snippets(
+        spark, idx, prepared, "spark join stream", k=10,
+        constants=constants,
+    )
+
+
 # --- public ------------------------------------------------------------------
 
 

@@ -1,0 +1,82 @@
+"""Structured-Streaming incremental indexer.
+
+The reference's only "streaming" surface is the one-page incremental
+reindex (POST /api/indexPage → IndexingService.indexSinglePage,
+SURVEY §2.9 I1). At corpus scale that becomes a continuous ingestion
+pipeline: new crawl files land in the docs directory; each micro-batch
+runs the same extract→tokenize→pack kernels and appends a NEW segment
+run; queries merge runs last-wins (index.wand._TermList) and
+merge_runs() compacts periodically.
+
+Spark-first shape: `readStream` file source (exactly-once via the
+streaming checkpoint — a batch is never reprocessed after commit) →
+`foreachBatch` running the delta kernel → parquet append. foreachBatch
+is the right tool because the sink is a batch-write of a custom packed
+format; the stream itself carries no aggregation state, so no
+watermarks are needed (dedup against the BASE index is doc_id-keyed
+last-run-wins at read time, not stream state).
+
+At 10^12-doc scale the same topology runs with an Iceberg source
+(`streamFrom` snapshots) and per-batch manifest rows for lineage —
+the batch_id IS the run_id, giving an auditable run ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..index.segments import delta_segments
+from ..operators.postings import prepare_docs_counts
+from ..schemas import DOCS_SCHEMA
+
+
+def start_incremental_indexer(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    index_base: str,
+    checkpoint_dir: str,
+    n_docs: int,
+    avgdl: float,
+    n_shards: int,
+    base_run_id: int = 0,
+    use_html: bool = True,
+    available_now: bool = True,
+):
+    """Start the streaming indexer over a landing directory.
+
+    Returns the StreamingQuery. `available_now=True` processes all
+    currently-available files then stops (the batch-refresh mode);
+    False runs continuously.
+    """
+    term_stats = spark.read.parquet(f"{index_base}/idx/term_stats")
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        prepared = prepare_docs_counts(batch_df, use_html=use_html)
+        delta = delta_segments(
+            prepared,
+            term_stats,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            n_shards=n_shards,
+            run_id=base_run_id + int(batch_id) + 1,
+        )
+        (
+            delta.repartition("shard")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(f"{index_base}/segments")
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(docs_stream_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("incremental-indexer")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

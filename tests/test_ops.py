@@ -28,14 +28,25 @@ def test_cancel_then_resume(spark, tmp_path):
         build_packed_resumable(spark, idx, base, n, avgdl,
                                n_shards=8, n_groups=8)
 
-    # fire a cancel shortly after the build starts
-    canceller = threading.Timer(2.0, lambda: cancel_build(spark))
+    # fire cancels repeatedly until the build dies — a single cancel
+    # can land in the gap between two group jobs (cancelJobGroup only
+    # kills ACTIVE jobs) and be a no-op
+    stop = threading.Event()
+
+    def keep_cancelling():
+        time.sleep(2.0)
+        while not stop.is_set():
+            cancel_build(spark)
+            time.sleep(0.5)
+
+    canceller = threading.Thread(target=keep_cancelling, daemon=True)
     canceller.start()
     try:
         with pytest.raises(Exception):
             run_cancellable(spark, build)
     finally:
-        canceller.cancel()
+        stop.set()
+        canceller.join(timeout=5)
 
     done_after_cancel = completed_groups(spark, base, "pack_segments")
     assert len(done_after_cancel) < 8  # genuinely interrupted mid-way
