@@ -201,6 +201,7 @@ def q_dedup_embedding(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         dim=EMB_DIM,
         min_cos=NEARDUP_MIN_COS,
+        n_planes=NEARDUP_PLANES,
     )
 
 

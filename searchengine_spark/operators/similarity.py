@@ -163,14 +163,17 @@ def embedding_neardup_pairs(
     min_cos: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed: only pairs
     sharing a bucket are scored (the scale path; exactness within the
-    recall of 8 hyperplanes): (vec_a, vec_b, cos_sim ≥ min_cos)."""
+    recall of `n_planes` hyperplanes — fewer planes than the ANN path
+    because near-dup wants recall over bucket selectivity):
+    (vec_a, vec_b, cos_e4 ≥ min_cos·10⁴)."""
     withb = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket_col(F.col(vec_col), dim).alias("bucket"),
+        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     a = withb.select(
         F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket"
