@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--site", default=None)
     ap.add_argument("--mode", choices=["packed", "relational"], default="packed")
+    ap.add_argument("--scoring", choices=["bm25", "legacy"], default="bm25",
+                    help="legacy = reference sum(rank)/max(rank)")
     ap.add_argument("--disjunctive", action="store_true")
     args = ap.parse_args()
 
@@ -44,13 +46,13 @@ def main() -> None:
         segments = spark.read.parquet(f"{args.index}/segments")
         out = search_packed(
             spark, segments, idx.term_stats, n_docs, avgdl, args.query,
-            k=args.k, conjunctive=not args.disjunctive,
+            k=args.k, conjunctive=not args.disjunctive, mode=args.scoring,
         )
     else:
         out = search(
             spark, idx, args.query, k=args.k, offset=args.offset,
             site=args.site, conjunctive=not args.disjunctive,
-            constants=(n_docs, avgdl),
+            mode=args.scoring, constants=(n_docs, avgdl),
         )
     rows = out.collect()
     dt = time.time() - t0

@@ -47,7 +47,8 @@ class _TermList:
 
     __slots__ = ("ids", "scores", "block_last", "block_max", "df", "gmax")
 
-    def __init__(self, rows: pd.DataFrame, n_docs: int, avgdl: float):
+    def __init__(self, rows: pd.DataFrame, n_docs: int, avgdl: float,
+                 mode: str = "bm25"):
         # merge runs (last run wins per doc_id — upsert semantics)
         if len(rows) == 1:
             row = rows.iloc[0]
@@ -71,7 +72,13 @@ class _TermList:
         df = int(rows["df"].iloc[0])
         self.ids = ids
         self.df = df
-        self.scores = bm25_scores_np(tfs, dls, df, n_docs, avgdl)
+        if mode == "legacy":
+            # reference scoring (ApiService.java:130-142): per-term
+            # contribution is the raw rank (= tf); the shard kernel
+            # finishes with sum/max
+            self.scores = tfs.astype(np.float64)
+        else:
+            self.scores = bm25_scores_np(tfs, dls, df, n_docs, avgdl)
         # block metadata recomputed post-merge (exact, block=128)
         from .segments import BLOCK
 
@@ -131,11 +138,14 @@ def _topk_frame(cand, scores, n_hit, k: int) -> pd.DataFrame:
 
 def wand_shard_topk(
     pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int, conjunctive: bool,
-    n_terms: int,
+    n_terms: int, mode: str = "bm25",
 ) -> pd.DataFrame:
-    """One shard's segments (all query terms) → shard-local top-k."""
+    """One shard's segments (all query terms) → shard-local top-k.
+    mode="legacy" scores sum(tf)/max(tf) (reference A3) — block-max
+    pruning is disabled there (the block annotations bound BM25, not
+    tf ratios); candidates are scored exhaustively."""
     lists = [
-        _TermList(rows, n_docs, avgdl)
+        _TermList(rows, n_docs, avgdl, mode)
         for _, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
@@ -157,14 +167,19 @@ def wand_shard_topk(
         if len(cand) == 0:
             return _topk_frame(cand, np.empty(0), np.empty(0, np.int64), k)
         scores = np.zeros(len(cand), dtype=np.float64)
+        maxs = np.zeros(len(cand), dtype=np.float64)
         for t in lists:
             sc, _ = t.lookup(cand)
             scores += sc
+            np.maximum(maxs, sc, out=maxs)
+        if mode == "legacy":
+            scores = scores / maxs  # sum(rank)/max(rank), A3
         n_hit = np.full(len(cand), len(lists), dtype=np.int64)
         return _topk_frame(cand, scores, n_hit, k)
 
     # disjunctive: block-max pruning, then exact scoring of survivors
-    theta = _theta_seed(lists, k)
+    # (legacy mode: no sound block bound for sum/max → no pruning)
+    theta = _theta_seed(lists, k) if mode == "bm25" else 0.0
     gmax_sum = sum(t.gmax for t in lists)
     survivors = []
     for t in lists:
@@ -187,11 +202,16 @@ def wand_shard_topk(
         return _topk_frame(np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64), k)
     cand = np.unique(np.concatenate(survivors))
     scores = np.zeros(len(cand), dtype=np.float64)
+    maxs = np.zeros(len(cand), dtype=np.float64)
     n_hit = np.zeros(len(cand), dtype=np.int64)
     for t in lists:
         sc, present = t.lookup(cand)
         scores += sc
+        np.maximum(maxs, sc, out=maxs)
         n_hit += present.astype(np.int64)
+    if mode == "legacy":
+        scores = np.divide(scores, maxs, out=np.zeros_like(scores),
+                           where=maxs > 0)
     return _topk_frame(cand, scores, n_hit, k)
 
 
@@ -206,6 +226,7 @@ def search_packed(
     conjunctive: bool = True,
     max_rel_freq: float = 0.95,
     df_map: dict | None = None,
+    mode: str = "bm25",
 ) -> DataFrame:
     """Top-k over the packed index → DataFrame(doc_id, score).
 
@@ -243,7 +264,8 @@ def search_packed(
 
     seg = segments.filter(F.col("term").isin(terms))
     per_shard = seg.groupBy("shard").applyInPandas(
-        lambda pdf: wand_shard_topk(pdf, n_docs, avgdl, k, conjunctive, n_terms),
+        lambda pdf: wand_shard_topk(pdf, n_docs, avgdl, k, conjunctive,
+                                    n_terms, mode),
         schema=TOPK_OUT_SCHEMA,
     )
     out = per_shard
