@@ -548,6 +548,57 @@ def q_sessionize(spark, sf_dir):
     return e.groupBy("user_id").agg(F.sum(new_sess).alias("n_sessions"))
 
 
+# -- multi-dim rollup aggregation (subtotals + grand total) -------------------
+@_reg(
+    "q_rollup_source_lang",
+    "SELECT source, lang, count(*)::BIGINT AS n,"
+    " sum(n_chars)::BIGINT AS total_chars"
+    " FROM documents GROUP BY ROLLUP (source, lang)",
+)
+def q_rollup_source_lang(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# -- exact interpolated percentiles per group ---------------------------------
+@_reg(
+    "q_value_percentiles",
+    "SELECT event_type,"
+    " floor(quantile_cont(value, 0.5) * 10000.0 + 0.5)::BIGINT AS p50_e4,"
+    " floor(quantile_cont(value, 0.95) * 10000.0 + 0.5)::BIGINT AS p95_e4"
+    " FROM events GROUP BY event_type",
+)
+def q_value_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    e4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        e4(F.percentile("value", F.lit(0.5))).alias("p50_e4"),
+        e4(F.percentile("value", F.lit(0.95))).alias("p95_e4"),
+    )
+
+
+# -- histogram binning (integer bucket math — exact) --------------------------
+@_reg(
+    "q_value_histogram",
+    "SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,"
+    " count(*)::BIGINT AS n FROM events GROUP BY 1",
+)
+def q_value_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # -- I1: latest-row-per-key (MERGE/upsert emulation over events) ---------------
 @_reg(
     "q_latest_event_per_user",
