@@ -376,6 +376,74 @@ def q_search_snippets(spark, sf_dir):
     )
 
 
+# --- flagship composite: clean training corpus ------------------------------
+# exact dedup (keep min doc_id per md5) → minhash-LSH near-dedup (drop
+# the higher doc_id of every candidate pair) → quality + language gate.
+# The end-to-end materialization a 100 TB pretraining pipeline runs;
+# every stage is individually oracle-verified above, and the composite
+# is verified as a whole here.
+
+_SQL_CLEAN = f"""
+WITH {_SQL_SHINGLES}, {_SQL_MINHASH},
+bands AS ({_BAND_SELECTS}),
+bsz AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+bok AS (SELECT bands.* FROM bands JOIN bsz USING (band, key) WHERE bsz.n <= 1000),
+near_drop AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id AND ({_NCOMMON}) >= 8
+),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+q AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n,
+         len(list_distinct(ts))::BIGINT AS uniq,
+         len(list_filter(ts, t -> t IN ({_STOP_IN})))::BIGINT AS stops
+  FROM tl WHERE len(ts) > 0
+),
+quality AS (
+  SELECT doc_id,
+         floor((0.4 * least(1.0, n / 100.0)
+                + 0.3 * (uniq / n)
+                + 0.3 * (1.0 - stops / n)) * 10000.0 + 0.5)::BIGINT AS q_e4
+  FROM q
+)
+SELECT d.doc_id, quality.q_e4 AS quality_e4
+FROM documents d
+JOIN exact_keep USING (doc_id)
+JOIN quality USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+  AND quality.q_e4 >= 5000
+  AND d.lang = 'en'
+"""
+
+
+@_reg("q_clean_corpus", _SQL_CLEAN)
+def q_clean_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    exact_keep = dedup.exact_dedup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    near_drop = (
+        dedup.minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    quality = textstats.quality_score(docs).select(
+        "doc_id", F.col("quality_e4")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(exact_keep, "doc_id")
+        .join(quality, "doc_id")
+        .join(near_drop, "doc_id", "left_anti")
+        .filter((F.col("quality_e4") >= 5000) & (F.col("lang") == "en"))
+        .select("doc_id", "quality_e4")
+    )
+
+
 # --- public ------------------------------------------------------------------
 
 
