@@ -98,7 +98,10 @@ def main() -> None:
         lat.append(dt)
         queries[f"wand_q{qid}"] = dt
 
-    # relational-path flagship query for comparison
+    # relational-path flagship query for comparison (one warmup run —
+    # a query server serves from a warm session)
+    rsearch.search(spark, index, "данные", k=20,
+                   constants=(n_docs, avgdl)).collect()
     t0 = time.monotonic()
     rsearch.search(spark, index, "быстрый поиск слова", k=20,
                    constants=(n_docs, avgdl)).collect()
