@@ -599,6 +599,37 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+# -- JSON extraction from a string column -------------------------------------
+@_reg(
+    "q_json_extract",
+    "SELECT json_extract(props, '$.k')::BIGINT AS k,"
+    " count(*)::BIGINT AS n FROM events GROUP BY 1",
+)
+def q_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -- date/time parts (dow aligned: 0=Sunday both sides) ------------------------
+@_reg(
+    "q_events_by_dow",
+    "SELECT date_part('dow', ts)::BIGINT AS dow, event_type,"
+    " count(*)::BIGINT AS n FROM events GROUP BY 1, 2",
+)
+def q_events_by_dow(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday
+    dow = (F.dayofweek(F.col("ts").cast("timestamp")) - 1).cast("long")
+    return ev.groupBy(dow.alias("dow"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # -- I1: latest-row-per-key (MERGE/upsert emulation over events) ---------------
 @_reg(
     "q_latest_event_per_user",
