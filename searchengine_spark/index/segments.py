@@ -83,6 +83,19 @@ def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int) -> pd
     n_blocks = -(-n // BLOCK)
     block_last = [int(doc_ids[min((i + 1) * BLOCK, n) - 1]) for i in range(n_blocks)]
     block_max = [float(scores[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(n_blocks)]
+
+    # per-block byte offsets into each varbyte stream (lazy decode)
+    u = vb.to_u64(doc_ids)
+    gaps = np.empty_like(u)
+    if n:
+        gaps[0] = u[0]
+        gaps[1:] = u[1:] - u[:-1]
+    starts = np.arange(n_blocks, dtype=np.int64) * BLOCK
+
+    def _offs(vals: np.ndarray) -> list[int]:
+        cum = np.concatenate(([0], np.cumsum(vb.varbyte_lengths(vals))))
+        return [int(x) for x in cum[starts]]
+
     return pd.DataFrame(
         [
             {
@@ -96,6 +109,9 @@ def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int) -> pd
                 "doclens": vb.encode_ints(doclens),
                 "block_last_doc": block_last,
                 "block_max_score": block_max,
+                "block_off_ids": _offs(gaps),
+                "block_off_tfs": _offs(tfs.astype(np.uint64)),
+                "block_off_dls": _offs(doclens.astype(np.uint64)),
             }
         ]
     )

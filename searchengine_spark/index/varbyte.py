@@ -34,12 +34,9 @@ def from_u64(u: np.ndarray) -> np.ndarray:
     return (u - _SIGN_OFFSET).view(np.int64)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """uint64 array → varbyte bytes."""
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (little-endian base-128)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: position of highest set bit / 7 (min 1)
     nbytes = np.ones(v.size, dtype=np.int64)
     thresh = np.uint64(1 << 7)
     for k in range(2, 11):
@@ -48,6 +45,15 @@ def varbyte_encode(values: np.ndarray) -> bytes:
             thresh = np.uint64(1) << np.uint64(7 * k)
         else:
             break
+    return nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """uint64 array → varbyte bytes."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = varbyte_lengths(v)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     # offsets of each value's first byte

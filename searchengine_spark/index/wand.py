@@ -8,6 +8,15 @@ here each shard's intersection runs as one vectorized numpy kernel
 inside applyInPandas, and shards execute in parallel across the
 cluster.
 
+Lazy block decode: segments carry per-block byte offsets
+(schemas.INDEX_SEGMENTS_SCHEMA), so the kernel decodes ONLY the blocks
+it touches — the rarest list fully (it drives the intersection), and
+for every other list just the blocks its candidates fall in. A
+stopword-heavy list is never decoded wholesale; at 10^12 docs that is
+the difference between O(candidate-blocks) and O(list) work per query.
+Multi-run (un-compacted incremental) segments and legacy scoring fall
+back to eager full decode.
+
 Soundness (rank-identity contract): pruning only ever SKIPS a doc when
 a provable upper bound on its total BM25 score is below the current
 threshold θ:
@@ -19,14 +28,15 @@ threshold θ:
   * disjunctive: a block b of term t is prunable iff
     block_max_t(b) + Σ_{u≠t} global_max_u < θ. A doc is dropped only
     if EVERY block containing it is prunable, which implies its exact
-    score < θ. Survivors are scored exactly against ALL decoded
-    postings (including pruned blocks — pruning limits the candidate
-    set, never the scoring).
+    score < θ. Survivors are scored exactly against ALL lists (lookup
+    decodes pruned blocks when a candidate lands in one — pruning
+    limits the candidate set, never the scoring).
 
-θ is seeded with the k-th best single-term score (a valid lower bound
-on the final k-th best total) and zero when fewer than k candidates
-exist. Exact float64 scoring from packed (tf, doclen) integers keeps
-scores bit-comparable with the relational path and the oracle.
+θ is seeded with the k-th best exact score of the SHORTEST list (a
+valid lower bound on the final k-th best total: every doc's total ≥
+its single-term score there), zero when it has < k postings. Exact
+float64 scoring from packed (tf, doclen) integers keeps scores
+bit-comparable with the relational path and the oracle.
 """
 
 from __future__ import annotations
@@ -37,22 +47,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.search import lemmatize_query
-from .segments import bm25_scores_np, unpack_segment
+from . import varbyte as vb
+from .segments import BLOCK, bm25_scores_np, unpack_segment
 
 TOPK_OUT_SCHEMA = "doc_id long, score double, n_hit int"
 
 
 class _TermList:
-    """Decoded postings of one term within one shard."""
+    """Postings of one term within one shard — lazily block-decoded
+    when a single run with block offsets is present, eager otherwise."""
 
-    __slots__ = ("ids", "scores", "block_last", "block_max", "df", "gmax")
+    __slots__ = (
+        "n", "df", "block_last", "block_max", "gmax",
+        "_n_docs", "_avgdl", "_mode",
+        "_bids", "_btfs", "_bdls", "_oids", "_otfs", "_odls",
+        "_cache", "_full",
+    )
 
     def __init__(self, rows: pd.DataFrame, n_docs: int, avgdl: float,
                  mode: str = "bm25"):
-        # merge runs (last run wins per doc_id — upsert semantics)
-        if len(rows) == 1:
+        self._n_docs, self._avgdl, self._mode = n_docs, avgdl, mode
+        self.df = int(rows["df"].iloc[0])
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._full = None
+        lazy = (
+            len(rows) == 1
+            and mode == "bm25"
+            and "block_off_ids" in rows.columns
+            and rows.iloc[0]["block_off_ids"] is not None
+        )
+        if lazy:
             row = rows.iloc[0]
-            ids, tfs, dls = unpack_segment(row)
+            self.n = int(row["n_docs"])
+            self._bids = bytes(row["doc_ids"])
+            self._btfs = bytes(row["tfs"])
+            self._bdls = bytes(row["doclens"])
+            self._oids = np.asarray(row["block_off_ids"], dtype=np.int64)
+            self._otfs = np.asarray(row["block_off_tfs"], dtype=np.int64)
+            self._odls = np.asarray(row["block_off_dls"], dtype=np.int64)
+            self.block_last = np.asarray(row["block_last_doc"], dtype=np.int64)
+            self.block_max = np.asarray(row["block_max_score"], dtype=np.float64)
+            self.gmax = float(self.block_max.max()) if self.n else 0.0
+            return
+        # eager: merge runs (last run wins per doc_id — upsert)
+        self._bids = self._btfs = self._bdls = b""
+        self._oids = self._otfs = self._odls = np.empty(0, dtype=np.int64)
+        if len(rows) == 1:
+            ids, tfs, dls = unpack_segment(rows.iloc[0])
         else:
             parts = []
             for _, row in rows.sort_values("run_id").iterrows():
@@ -69,53 +110,122 @@ class _TermList:
             keep = np.ones(len(ids), dtype=bool)
             keep[:-1] = ids[1:] != ids[:-1]  # keep last (highest run)
             ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-        df = int(rows["df"].iloc[0])
-        self.ids = ids
-        self.df = df
-        if mode == "legacy":
-            # reference scoring (ApiService.java:130-142): per-term
-            # contribution is the raw rank (= tf); the shard kernel
-            # finishes with sum/max
-            self.scores = tfs.astype(np.float64)
-        else:
-            self.scores = bm25_scores_np(tfs, dls, df, n_docs, avgdl)
-        # block metadata recomputed post-merge (exact, block=128)
-        from .segments import BLOCK
-
-        n = len(ids)
-        n_blocks = -(-n // BLOCK) if n else 0
+        scores = self._score(tfs, dls)
+        self._full = (ids, scores)
+        self.n = len(ids)
+        n_blocks = -(-self.n // BLOCK) if self.n else 0
         self.block_last = np.array(
-            [ids[min((i + 1) * BLOCK, n) - 1] for i in range(n_blocks)],
+            [ids[min((i + 1) * BLOCK, self.n) - 1] for i in range(n_blocks)],
             dtype=np.int64,
         )
         self.block_max = np.array(
-            [self.scores[i * BLOCK : (i + 1) * BLOCK].max() for i in range(n_blocks)],
+            [scores[i * BLOCK : (i + 1) * BLOCK].max() for i in range(n_blocks)],
             dtype=np.float64,
         )
-        self.gmax = float(self.scores.max()) if n else 0.0
+        self.gmax = float(scores.max()) if self.n else 0.0
+
+    @property
+    def ids(self) -> np.ndarray:
+        """Full docID array (forces decode — tests/driving list only)."""
+        return self.decode_all()[0]
+
+    @property
+    def scores(self) -> np.ndarray:
+        """Full score array (forces decode)."""
+        return self.decode_all()[1]
+
+    def _score(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        if self._mode == "legacy":
+            # reference A3 contribution = raw rank (tf); the kernel
+            # finishes with sum/max
+            return tfs.astype(np.float64)
+        return bm25_scores_np(tfs, dls, self.df, self._n_docs, self._avgdl)
+
+    # --- lazy plumbing -----------------------------------------------------
+
+    def _slice(self, buf: bytes, offs: np.ndarray, b: int) -> bytes:
+        end = offs[b + 1] if b + 1 < len(offs) else len(buf)
+        return buf[offs[b] : end]
+
+    def _decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, scores) of block b (cached)."""
+        hit = self._cache.get(b)
+        if hit is not None:
+            return hit
+        gaps = vb.varbyte_decode(self._slice(self._bids, self._oids, b))
+        base = (
+            vb.to_u64(self.block_last[b - 1 : b])[0]
+            if b > 0
+            else np.uint64(0)
+        )
+        ids = vb.from_u64(np.cumsum(gaps, dtype=np.uint64) + base)
+        tfs = vb.varbyte_decode(
+            self._slice(self._btfs, self._otfs, b)
+        ).astype(np.int64)
+        dls = vb.varbyte_decode(
+            self._slice(self._bdls, self._odls, b)
+        ).astype(np.int64)
+        out = (ids, self._score(tfs, dls))
+        self._cache[b] = out
+        return out
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Full (ids, scores) — used for the rarest (driving) list."""
+        if self._full is None:
+            if self.n == 0:
+                self._full = (np.empty(0, np.int64), np.empty(0))
+            else:
+                blocks = [
+                    self._decode_block(b) for b in range(len(self.block_last))
+                ]
+                self._full = (
+                    np.concatenate([x[0] for x in blocks]),
+                    np.concatenate([x[1] for x in blocks]),
+                )
+        return self._full
+
+    def block_ids(self, b: int) -> np.ndarray:
+        if self._full is not None:
+            return self._full[0][b * BLOCK : (b + 1) * BLOCK]
+        return self._decode_block(b)[0]
 
     def lookup(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(scores, present_mask) of candidate ids (sorted)."""
-        pos = np.searchsorted(self.ids, cand)
-        pos_c = np.minimum(pos, len(self.ids) - 1) if len(self.ids) else pos
-        present = (
-            (pos < len(self.ids)) & (self.ids[pos_c] == cand)
-            if len(self.ids)
-            else np.zeros(len(cand), dtype=bool)
-        )
-        sc = np.zeros(len(cand), dtype=np.float64)
-        sc[present] = self.scores[pos_c[present]]
+        """(scores, present_mask) for sorted candidate ids — decodes
+        only the blocks candidates fall in."""
+        m = len(cand)
+        sc = np.zeros(m, dtype=np.float64)
+        present = np.zeros(m, dtype=bool)
+        if self.n == 0 or m == 0:
+            return sc, present
+        if self._full is not None:
+            ids, scores = self._full
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, len(ids) - 1)
+            ok = (pos < len(ids)) & (ids[pos_c] == cand)
+            sc[ok] = scores[pos_c[ok]]
+            return sc, ok
+        blk = np.searchsorted(self.block_last, cand, side="left")
+        valid = blk < len(self.block_last)
+        for b in np.unique(blk[valid]):
+            sel = np.flatnonzero(valid & (blk == b))
+            ids_b, sc_b = self._decode_block(int(b))
+            pos = np.searchsorted(ids_b, cand[sel])
+            pos_c = np.minimum(pos, len(ids_b) - 1)
+            ok = (pos < len(ids_b)) & (ids_b[pos_c] == cand[sel])
+            hit = sel[ok]
+            sc[hit] = sc_b[pos_c[ok]]
+            present[hit] = True
         return sc, present
 
 
-def _theta_seed(lists: list[_TermList], k: int) -> float:
-    """k-th best single-term score — a valid lower bound on the final
-    k-th best total score (every doc's total ≥ its best single-term
-    contribution)."""
-    best = np.concatenate([t.scores for t in lists]) if lists else np.empty(0)
-    if len(best) <= k:
+def _theta_seed(shortest: _TermList, k: int) -> float:
+    """k-th best exact score of the shortest list — a valid lower
+    bound on the final k-th best total (each doc's total ≥ its
+    single-term score there)."""
+    if shortest.n <= k:
         return 0.0
-    return float(np.partition(best, -k)[-k])
+    scores = shortest.decode_all()[1]
+    return float(np.partition(scores, -k)[-k])
 
 
 def _topk_frame(cand, scores, n_hit, k: int) -> pd.DataFrame:
@@ -136,6 +246,12 @@ def _topk_frame(cand, scores, n_hit, k: int) -> pd.DataFrame:
     )
 
 
+def _empty_topk(k: int) -> pd.DataFrame:
+    return _topk_frame(
+        np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64), k
+    )
+
+
 def wand_shard_topk(
     pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int, conjunctive: bool,
     n_terms: int, mode: str = "bm25",
@@ -149,23 +265,24 @@ def wand_shard_topk(
         for _, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
-        return _topk_frame(np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64), k)
+        return _empty_topk(k)
 
     if conjunctive:
         if len(lists) < n_terms:
             # a query term has no postings in this shard ⇒ no doc here
             # can match all terms (shards partition the doc space)
-            return _topk_frame(np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64), k)
-        # rarest-first intersection cascade (R1)
-        lists.sort(key=lambda t: len(t.ids))
-        cand = lists[0].ids
+            return _empty_topk(k)
+        # rarest-first intersection cascade (R1): drive with the
+        # shortest list (fully decoded), probe the rest lazily
+        lists.sort(key=lambda t: t.n)
+        cand = lists[0].decode_all()[0]
         for t in lists[1:]:
             if len(cand) == 0:
                 break
             _, present = t.lookup(cand)
             cand = cand[present]
         if len(cand) == 0:
-            return _topk_frame(cand, np.empty(0), np.empty(0, np.int64), k)
+            return _empty_topk(k)
         scores = np.zeros(len(cand), dtype=np.float64)
         maxs = np.zeros(len(cand), dtype=np.float64)
         for t in lists:
@@ -179,27 +296,18 @@ def wand_shard_topk(
 
     # disjunctive: block-max pruning, then exact scoring of survivors
     # (legacy mode: no sound block bound for sum/max → no pruning)
-    theta = _theta_seed(lists, k) if mode == "bm25" else 0.0
+    shortest = min(lists, key=lambda t: t.n)
+    theta = _theta_seed(shortest, k) if mode == "bm25" else 0.0
     gmax_sum = sum(t.gmax for t in lists)
     survivors = []
     for t in lists:
-        if len(t.ids) == 0:
+        if t.n == 0:
             continue
         bound = t.block_max + (gmax_sum - t.gmax)
-        keep_blocks = np.flatnonzero(bound >= theta)
-        if len(keep_blocks) == 0:
-            continue
-        from .segments import BLOCK
-
-        idx = np.concatenate(
-            [
-                np.arange(b * BLOCK, min((b + 1) * BLOCK, len(t.ids)))
-                for b in keep_blocks
-            ]
-        )
-        survivors.append(t.ids[idx])
+        for b in np.flatnonzero(bound >= theta):
+            survivors.append(t.block_ids(int(b)))
     if not survivors:
-        return _topk_frame(np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64), k)
+        return _empty_topk(k)
     cand = np.unique(np.concatenate(survivors))
     scores = np.zeros(len(cand), dtype=np.float64)
     maxs = np.zeros(len(cand), dtype=np.float64)
@@ -242,6 +350,7 @@ def search_packed(
     lemmas = lemmatize_query(query)
     if not lemmas:
         from ..operators.search import empty_df
+
         return empty_df(spark, "doc_id long, score double")
     if df_map is not None:
         stats = {t: df_map[t] for t in lemmas if t in df_map}
@@ -259,6 +368,7 @@ def search_packed(
     ]
     if not terms:
         from ..operators.search import empty_df
+
         return empty_df(spark, "doc_id long, score double")
     n_terms = len(terms)
 

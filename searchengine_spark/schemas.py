@@ -73,6 +73,14 @@ INDEX_SEGMENTS_SCHEMA = T.StructType(
         T.StructField("doclens", T.BinaryType(), False),  # varbyte
         T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_score", T.ArrayType(T.DoubleType()), False),
+        # byte offset of each block's first value in the corresponding
+        # varbyte stream (block b spans [off[b], off[b+1]) with the
+        # stream length as the implicit terminal) — enables LAZY
+        # per-block decode at query time: a WAND kernel touches only
+        # the blocks its candidates live in, never the whole list
+        T.StructField("block_off_ids", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_off_tfs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_off_dls", T.ArrayType(T.IntegerType()), False),
     ]
 )
 
