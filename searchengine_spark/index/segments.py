@@ -84,17 +84,23 @@ def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int) -> pd
     block_last = [int(doc_ids[min((i + 1) * BLOCK, n) - 1]) for i in range(n_blocks)]
     block_max = [float(scores[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(n_blocks)]
 
-    # per-block byte offsets into each varbyte stream (lazy decode)
+    # per-block byte offsets into each varbyte stream (lazy decode);
+    # lengths computed once per stream and reused by the encoder
     u = vb.to_u64(doc_ids)
     gaps = np.empty_like(u)
     if n:
         gaps[0] = u[0]
         gaps[1:] = u[1:] - u[:-1]
     starts = np.arange(n_blocks, dtype=np.int64) * BLOCK
-
-    def _offs(vals: np.ndarray) -> list[int]:
-        cum = np.concatenate(([0], np.cumsum(vb.varbyte_lengths(vals))))
-        return [int(x) for x in cum[starts]]
+    tfs_u = tfs.astype(np.uint64)
+    dls_u = doclens.astype(np.uint64)
+    enc = {}
+    offs = {}
+    for key, vals in (("ids", gaps), ("tfs", tfs_u), ("dls", dls_u)):
+        lens = vb.varbyte_lengths(vals)
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        offs[key] = [int(x) for x in cum[starts]]
+        enc[key] = vb.varbyte_encode(vals, nbytes=lens)
 
     return pd.DataFrame(
         [
@@ -104,14 +110,14 @@ def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int) -> pd
                 "run_id": run_id,
                 "n_docs": n,
                 "df": df_term,
-                "doc_ids": vb.delta_encode_ids(doc_ids),
-                "tfs": vb.encode_ints(tfs),
-                "doclens": vb.encode_ints(doclens),
+                "doc_ids": enc["ids"],
+                "tfs": enc["tfs"],
+                "doclens": enc["dls"],
                 "block_last_doc": block_last,
                 "block_max_score": block_max,
-                "block_off_ids": _offs(gaps),
-                "block_off_tfs": _offs(tfs.astype(np.uint64)),
-                "block_off_dls": _offs(doclens.astype(np.uint64)),
+                "block_off_ids": offs["ids"],
+                "block_off_tfs": offs["tfs"],
+                "block_off_dls": offs["dls"],
             }
         ]
     )

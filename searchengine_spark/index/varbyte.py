@@ -48,12 +48,14 @@ def varbyte_lengths(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """uint64 array → varbyte bytes."""
+def varbyte_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """uint64 array → varbyte bytes. Pass a precomputed
+    varbyte_lengths(values) via `nbytes` to avoid recomputing it."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = varbyte_lengths(v)
+    if nbytes is None:
+        nbytes = varbyte_lengths(v)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     # offsets of each value's first byte
