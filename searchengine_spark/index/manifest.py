@@ -37,13 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.postings import IndexTables
+from ..schemas import BUILD_MANIFEST_SCHEMA as MANIFEST_SCHEMA
 from .segments import n_shards_for
-
-MANIFEST_SCHEMA = (
-    "stage string, group_id int, n_groups int, n_shards int, run_id int, "
-    "status string, started_at double, finished_at double, "
-    "n_segments long, n_postings long, n_terms long, bytes_written long"
-)
 
 
 def manifest_path(base: str) -> str:

@@ -86,16 +86,22 @@ INDEX_SEGMENTS_SCHEMA = T.StructType(
 
 # Build lineage / checkpoint manifest (north_rule resumability;
 # reference analog: site.status/status_time heartbeat —
-# utils/SqlUtils.java:17-19, entity/Site.java:14-36).
+# utils/SqlUtils.java:17-19, entity/Site.java:14-36). One row per
+# completed shard group per stage — consumed by index.manifest
+# (restart-skip) and operators.ops (status dashboard).
 BUILD_MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("stage", T.StringType(), False),
-        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("group_id", T.IntegerType(), False),
+        T.StructField("n_groups", T.IntegerType(), False),
+        T.StructField("n_shards", T.IntegerType(), False),
+        T.StructField("run_id", T.IntegerType(), False),
         T.StructField("status", T.StringType(), False),
-        T.StructField("n_docs", T.LongType(), True),
-        T.StructField("n_tokens", T.LongType(), True),
+        T.StructField("started_at", T.DoubleType(), True),
+        T.StructField("finished_at", T.DoubleType(), True),
+        T.StructField("n_segments", T.LongType(), True),
         T.StructField("n_postings", T.LongType(), True),
+        T.StructField("n_terms", T.LongType(), True),
         T.StructField("bytes_written", T.LongType(), True),
-        T.StructField("wall_sec", T.DoubleType(), True),
     ]
 )
