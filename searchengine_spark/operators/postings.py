@@ -265,6 +265,35 @@ def write_index(tables: IndexTables, base_path: str) -> None:
     )
 
 
+def write_index_bucketed(
+    tables: IndexTables, db: str = "searchidx", n_buckets: int = 32
+) -> None:
+    """Persist postings + doc_stats as tables BUCKETED by doc_id:
+    the BM25 scoring join (postings ⋈ doc_stats on doc_id) then runs
+    with NO exchange on either side — both scans are pre-partitioned
+    by the join key. At 10^12 docs that join is the one unavoidable
+    big-big join of the relational path; bucketing removes its shuffle
+    entirely (tests/test_bucketed_join.py asserts the plan).
+
+    Uses the session warehouse (saveAsTable) — bucketing metadata
+    lives in the catalog, which plain .parquet() paths can't carry.
+    """
+    spark = tables.postings.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    (
+        tables.postings.write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{db}.postings")
+    )
+    (
+        tables.doc_stats.write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{db}.doc_stats")
+    )
+
+
 def read_index(spark, base_path: str) -> IndexTables:
     return IndexTables(
         postings=spark.read.parquet(f"{base_path}/postings"),
