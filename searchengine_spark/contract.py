@@ -8,8 +8,9 @@ Conventions that make the value-hash comparison deterministic:
   * float expressions written with IDENTICAL literal structure and
     evaluation order on both sides, then rounded (4-6 dp);
   * money/value sums done in exact integer cents
-    (cast(round(x*100) as bigint)) — per-row rounding of identical
-    doubles is deterministic, integer sums are order-insensitive;
+    (floor(x*100.0 + 0.5)::BIGINT — NOT round(): Spark rounds HALF_UP
+    while DuckDB is binary-boundary-sensitive) — per-row fixed-point of
+    identical doubles is deterministic, integer sums order-insensitive;
   * counts cast to BIGINT on the DuckDB side (sum(BIGINT)→HUGEINT
     otherwise), window ranks cast to BIGINT on the Spark side.
 """
@@ -472,11 +473,14 @@ def q_anti_join(spark, sf_dir):
 
 
 # -- multi-join + agg with broadcast dims (exact integer cents) ---------------
+# per-row fixed-point via floor(x*100+0.5): Spark round() is HALF_UP,
+# DuckDB round() is binary-boundary-sensitive — floor(+0.5) is the one
+# expression both engines evaluate identically (same as e4 elsewhere)
 @_reg(
     "q_join_agg_revenue",
     "SELECT n_name,"
-    " sum(cast(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))"
-    "   AS revenue_cents,"
+    " sum(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)::BIGINT)"
+    "   ::BIGINT AS revenue_cents,"
     " count(*)::BIGINT AS n_items"
     " FROM customer JOIN nation ON c_nationkey = n_nationkey"
     " JOIN orders ON o_custkey = c_custkey"
@@ -488,8 +492,9 @@ def q_join_agg_revenue(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    cents = F.round(
+    cents = F.floor(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
     ).cast("long")
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -508,7 +513,7 @@ def q_join_agg_revenue(spark, sf_dir):
     "q_events_hourly",
     "SELECT date_trunc('hour', ts) AS hour, event_type,"
     " count(*)::BIGINT AS n,"
-    " sum(cast(round(value * 100.0) AS BIGINT)) AS value_cents"
+    " sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS value_cents"
     " FROM events GROUP BY 1, 2",
 )
 def q_events_hourly(spark, sf_dir):
@@ -517,9 +522,9 @@ def q_events_hourly(spark, sf_dir):
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("value") * F.lit(100.0)).cast("long")).alias(
-            "value_cents"
-        ),
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("value_cents"),
     )
 
 

@@ -341,38 +341,201 @@ def q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
 
 
-# --- multimodal plumbing (no SQL oracle: mapInPandas kernel; the
-# driver records the weaker rows-only check) ---------------------------------
+# --- multimodal plumbing: deterministic fake-decode featurizer over the
+# utf-8 payload, all-scalar output (e4 fixed-point per component) so the
+# driver canonicalizer can hash it; oracle = exact byte math in SQL
+# (documents.text is ASCII — guarded by tests/test_multimodal_contract) -------
+
+_FD = multimodal.FEATURE_DIM
+_SQL_MM_FCOLS = ", ".join(
+    f"coalesce(max(CASE WHEN chunk = {k} THEN"
+    f" floor(s / sz / 255.0 * 10000.0 + 0.5)::BIGINT END), 0) AS f{k}_e4"
+    for k in range(_FD)
+)
+_SQL_MULTIMODAL = f"""
+WITH b AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         octet_length(encode(coalesce(text, '')))::BIGINT AS n
+  FROM documents
+),
+bv AS (
+  SELECT doc_id, n, unnest(range(1, length(t) + 1)) AS i, t FROM b
+),
+ch AS (
+  SELECT doc_id,
+         CASE WHEN (i - 1) < (n % {_FD}) * (n // {_FD} + 1)
+              THEN (i - 1) // (n // {_FD} + 1)
+              ELSE (n % {_FD})
+                   + ((i - 1) - (n % {_FD}) * (n // {_FD} + 1)) // (n // {_FD})
+         END AS chunk,
+         unicode(substr(t, i, 1))::BIGINT AS v
+  FROM bv
+),
+cs AS (
+  SELECT doc_id, chunk, sum(v)::BIGINT AS s, count(*)::BIGINT AS sz
+  FROM ch GROUP BY doc_id, chunk
+)
+SELECT b.doc_id, 'fake' AS kind, b.n AS n_bytes,
+       substr(sha256(b.t), 1, 16) AS payload_sha,
+       {_SQL_MM_FCOLS},
+       TRUE AS decode_ok
+FROM b LEFT JOIN cs ON cs.doc_id = b.doc_id
+GROUP BY b.doc_id, b.t, b.n
+"""
 
 
-@_reg("q_multimodal_features", None)
+@_reg("q_multimodal_features", _SQL_MULTIMODAL)
 def q_multimodal_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.docs_as_assets(docs))
+    return multimodal.extract_features_e4(multimodal.docs_as_assets(docs))
 
 
-# --- snippets (Str4-Str8; pandas UDF post-top-k — no SQL oracle) ------------
+# --- snippets (Str4-Str8): full-row oracle ----------------------------------
+# The flagship user-facing response (reference ApiService.java:82-146 +
+# SnippetMapper.java:13-142): conjunctive BM25 top-10 + highlighted
+# word-window snippet per winner. Ranking uses the e4 fixed-point score
+# on BOTH sides so the rank-10 boundary can never flip on a sum-order
+# ulp; the snippet itself (make_snippet word-window semantics,
+# functions/textproc.py) is reproduced verbatim in DuckDB SQL:
+# hit → ±radius window → merge overlapping intervals (gaps-and-islands)
+# → <b>-wrap hits → ' ... ' join.
+# The packed/WAND engine path for the same response stays pytest-covered
+# (tests/test_snippets_spark.py); this entry verifies the semantics
+# end-to-end against SQL.
+
+SNIPPET_RADIUS = 3
+
+# Surface forms whose lemmas hit the query terms (make_snippet matches
+# on LEMMAS: dict surfaces of each query lemma + identity for OOV).
+# Generated from the same LEMMA_DICT the Spark kernel uses.
+from .contract import QT, QT_SQL, _SQL_TOK  # noqa: E402
+from .functions.lemma_dict import LEMMA_DICT, STOP_POS  # noqa: E402
+
+_HIT_SURFACES = sorted(
+    {
+        s
+        for s, pairs in LEMMA_DICT.items()
+        if any(lm in QT and pos not in STOP_POS for lm, pos in pairs)
+    }
+    | {t for t in QT if t not in LEMMA_DICT}
+)
+_HIT_IN = ", ".join(f"'{s}'" for s in _HIT_SURFACES)
+
+_R = SNIPPET_RADIUS
+_SQL_SNIPPETS = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl),
+agg AS (
+  SELECT t.doc_id,
+         floor(sum(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * tf * 2.2
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
+         ) * 10000.0 + 0.5)::BIGINT AS score_e4
+  FROM tf t JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+  WHERE term IN {QT_SQL}
+  GROUP BY t.doc_id HAVING count(*) = {len(QT)}
+),
+topk AS (
+  SELECT doc_id, score_e4, rank FROM (
+    SELECT doc_id, score_e4,
+           row_number() OVER (ORDER BY score_e4 DESC, doc_id ASC)::BIGINT
+             AS rank
+    FROM agg) WHERE rank <= 10
+),
+dw AS (SELECT d.doc_id, string_split(coalesce(d.text, ''), ' ') AS ws
+       FROM documents d JOIN topk USING (doc_id)),
+wrd AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM dw),
+wv AS (SELECT doc_id, i, ws[i] AS w, len(ws) AS nw FROM wrd),
+hit AS (
+  SELECT doc_id, i, nw FROM wv
+  WHERE len(list_filter(list_transform(
+          list_filter(string_split(
+            regexp_replace(lower(w), '[^a-zа-яё0-9- ]', ' ', 'g'), ' '),
+            t -> t <> ''),
+          t -> trim(t, '-')),
+        t -> t IN ({_HIT_IN}))) > 0
+),
+isl0 AS (
+  SELECT doc_id, i, nw,
+         CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                OR greatest(i - {_R}, 1) >
+                   least(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + {_R},
+                         nw) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM hit
+),
+isl AS (SELECT doc_id, i, nw,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl0),
+iv AS (SELECT doc_id, g, greatest(min(i) - {_R}, 1) AS lo,
+          least(max(i) + {_R}, max(nw)) AS hi
+       FROM isl GROUP BY doc_id, g),
+fw AS (
+  SELECT iv.doc_id, iv.g, iv.lo, wv.i,
+         CASE WHEN h.i IS NOT NULL THEN '<b>' || wv.w || '</b>'
+              ELSE wv.w END AS piece
+  FROM iv
+  JOIN wv ON wv.doc_id = iv.doc_id AND wv.i BETWEEN iv.lo AND iv.hi
+  LEFT JOIN hit h ON h.doc_id = wv.doc_id AND h.i = wv.i
+),
+fr AS (SELECT doc_id, g, lo, string_agg(piece, ' ' ORDER BY i) AS frag
+       FROM fw GROUP BY doc_id, g, lo),
+sn AS (SELECT doc_id, string_agg(frag, ' ... ' ORDER BY lo) AS snippet
+       FROM fr GROUP BY doc_id)
+SELECT t.doc_id, t.score_e4, t.rank, coalesce(sn.snippet, '') AS snippet
+FROM topk t LEFT JOIN sn USING (doc_id)
+"""
 
 
-@_reg("q_search_snippets", None)
+@_reg("q_search_snippets", _SQL_SNIPPETS)
 def q_search_snippets(spark, sf_dir):
-    """Full search response with highlighted snippets over the
-    documents table (reference ApiService.java:141 + SnippetMapper):
-    index built in-query (small table), conjunctive BM25 top-10, then
-    the snippet kernel on the winners only."""
-    from .operators.postings import build_index_prepared, prepare_docs_native
-    from .operators.search import corpus_constants, search_with_snippets
+    from pyspark.sql import Window
+
+    from .functions.udfs import snippet_udf
+    from .operators.search import bm25_term_score, lemmatize_query
 
     docs = _t(spark, sf_dir, "documents")
-    # lemmas for the index + raw text kept for the snippet kernel
-    prepared = prepare_docs_native(
-        docs, doc_id_col="doc_id", text_col="text", site_col="source"
-    ).join(docs.select("doc_id", "text"), "doc_id")
-    idx = build_index_prepared(prepared)
-    constants = corpus_constants(idx.doc_stats)
-    return search_with_snippets(
-        spark, idx, prepared, "spark join stream", k=10,
-        constants=constants,
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    agg = (
+        tf.filter(F.col("term").isin(QT))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx.filter(F.col("term").isin(QT))), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w) * 10000.0 + F.lit(0.5)).cast("long")
+            .alias("score_e4"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") == len(QT))
+        .select("doc_id", "score_e4")
+    )
+    win = Window.orderBy(F.desc("score_e4"), F.asc("doc_id"))
+    topk = (
+        agg.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+    snip = snippet_udf(lemmatize_query(" ".join(QT)), radius=SNIPPET_RADIUS)
+    return (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(topk), "doc_id")
+        .select(
+            "doc_id", "score_e4", "rank",
+            snip(F.coalesce(F.col("text"), F.lit(""))).alias("snippet"),
+        )
     )
 
 

@@ -98,6 +98,69 @@ def extract_features(
     return assets.select(*cols).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+FEATURES_E4_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, payload_sha string, "
+    + ", ".join(f"f{i}_e4 long" for i in range(FEATURE_DIM))
+    + ", decode_ok boolean"
+)
+
+
+def extract_features_e4(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Scalar-column variant of extract_features: each feature component
+    emitted as an exact ×10⁴ fixed-point BIGINT (floor(x·10⁴+0.5)) so
+    every output column is hashable/sortable by the driver canonicalizer
+    and expressible in ANSI SQL for the DuckDB oracle.
+
+    Component k is the mean byte value of chunk k of the payload under
+    numpy array_split semantics (first n%D chunks get one extra byte),
+    normalized by 255. Chunk sums are exact integer arithmetic; the only
+    float ops are the two divisions and the 1e4 scale — identical
+    literal structure to the oracle SQL (s/sz/255.0*10000.0+0.5)."""
+    import math
+
+    cols = [id_col, kind_col, payload_col]
+    d = FEATURE_DIM
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, kind, payload in zip(
+                pdf[id_col], pdf[kind_col], pdf[payload_col]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                ok = kind == "fake"  # see _decode_payload
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                row = {
+                    "doc_id": int(did),
+                    "kind": kind,
+                    "n_bytes": n,
+                    "payload_sha": hashlib.sha256(payload).hexdigest()[:16],
+                }
+                q, r = divmod(n, d)
+                pos = 0
+                for k in range(d):
+                    sz = q + (1 if k < r else 0)
+                    if sz == 0:
+                        row[f"f{k}_e4"] = 0
+                    else:
+                        s = int(b[pos : pos + sz].sum())
+                        row[f"f{k}_e4"] = math.floor(
+                            s / sz / 255.0 * 10000.0 + 0.5
+                        )
+                    pos += sz
+                row["decode_ok"] = ok
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return assets.select(*cols).mapInPandas(run, schema=FEATURES_E4_SCHEMA)
+
+
 def docs_as_assets(docs: DataFrame, text: str = "text") -> DataFrame:
     """Adapter for testing the plumbing on the driver's `documents`
     table: treat utf-8 text bytes as the opaque payload."""
