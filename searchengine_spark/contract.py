@@ -635,6 +635,119 @@ def q_events_by_dow(spark, sf_dir):
     )
 
 
+# -- F1/Str10: URL canonicalization + dedup (WebsiteMapper.java:94-130,
+#    WebPage.java:143-167, WebsiteIndexMapper.java:50-52). The documents
+#    table has no url column, so deterministic messy URLs (query strings,
+#    fragments, trailing slashes, file extensions) are synthesized
+#    in-query from (source, doc_id) — identically on both engines — and
+#    the canonicalize → reject-files → dedup pipeline is verified row
+#    by row. ----------------------------------------------------------------
+_SQL_URLNORM = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example/p/' || (doc_id % 50)::VARCHAR
+         || CASE WHEN doc_id % 10 = 0 THEN '.pdf'
+                 WHEN doc_id % 10 = 5 THEN '.html' ELSE '' END
+         || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/'
+                 WHEN 2 THEN '?utm=1' ELSE '#frag' END AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                        '([^/:])/$', '\1') AS cu
+  FROM u
+),
+e AS (
+  -- extension from the PATH only (a dotted host must not read as ext)
+  SELECT doc_id, cu,
+         lower(regexp_extract(
+           regexp_replace(cu, '^[a-z][a-z0-9+.-]*://[^/?#]+', ''),
+           '\.([^/.?#]+)$', 1)) AS ext
+  FROM c
+)
+SELECT cu AS canon_url,
+       regexp_extract(cu, '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) AS site,
+       CASE WHEN regexp_replace(cu, '^[a-z][a-z0-9+.-]*://[^/?#]+', '') = ''
+            THEN '/'
+            ELSE regexp_replace(cu, '^[a-z][a-z0-9+.-]*://[^/?#]+', '')
+       END AS rel_path,
+       count(*)::BIGINT AS n_variants,
+       min(doc_id) AS keep_doc_id
+FROM e
+WHERE NOT (ext <> '' AND ext NOT IN ('htm', 'html'))
+GROUP BY 1, 2, 3
+"""
+
+
+@_reg("q_url_normalize", _SQL_URLNORM)
+def q_url_normalize(spark, sf_dir):
+    from .functions.urlnorm import (
+        canonical_url,
+        is_file_url,
+        relative_path,
+        site_of,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ext = (
+        F.when(F.col("doc_id") % 10 == 0, F.lit(".pdf"))
+        .when(F.col("doc_id") % 10 == 5, F.lit(".html"))
+        .otherwise(F.lit(""))
+    )
+    suf = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?utm=1"))
+        .otherwise(F.lit("#frag"))
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+        (F.col("doc_id") % 50).cast("string"), ext, suf,
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return (
+        u.filter(~is_file_url(F.col("url")))
+        .select("doc_id", canonical_url(F.col("url")).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .select(
+            "canon_url",
+            site_of(F.col("canon_url")).alias("site"),
+            relative_path(F.col("canon_url")).alias("rel_path"),
+            "n_variants",
+            "keep_doc_id",
+        )
+    )
+
+
+# -- A4 full dashboard: per-site page AND term counts
+#    (StatisticsServiceImpl.java:29-78) ---------------------------------------
+@_reg(
+    "q_site_dashboard",
+    f"WITH {_SQL_TOK}"
+    " SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,"
+    " count(DISTINCT term)::BIGINT AS n_terms,"
+    " count(*)::BIGINT AS n_tokens"
+    " FROM tok2 JOIN documents USING (doc_id) GROUP BY source",
+)
+def q_site_dashboard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _tokens(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 # -- I1: latest-row-per-key (MERGE/upsert emulation over events) ---------------
 @_reg(
     "q_latest_event_per_user",

@@ -186,6 +186,11 @@ def ngram_jaccard_pairs(
 
     Hot shingles (df > max_df) are cut before the self-join — they are
     boilerplate, carry no pair signal, and would square the shuffle.
+
+    The per-doc size joins are plain shuffle joins on doc_a/doc_b: the
+    sizes frame is one row per DOCUMENT (O(N) — multi-GB at 10⁹ docs,
+    never broadcast). Only the hot-shingle df-cut frame is broadcast:
+    it holds just shingles with df > max_df, bounded and tiny.
     """
     sh = (
         docs.select("doc_id", F.explode(shingles_col(F.col(text))).alias("shingle"))
@@ -212,8 +217,8 @@ def ngram_jaccard_pairs(
     )
     jacc = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
-        pairs.join(F.broadcast(sizes_a), "doc_a")
-        .join(F.broadcast(sizes_b), "doc_b")
+        pairs.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
         .filter(jacc >= min_jaccard)
         .select(
             "doc_a",

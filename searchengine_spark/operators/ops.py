@@ -59,5 +59,19 @@ def build_status(spark: SparkSession, base: str):
             F.min("started_at").alias("started_at"),
             F.max("finished_at").alias("finished_at"),
         )
+        # Str11: human-readable timestamps, reference format
+        # yyyy-MM-dd HH:mm:ss (utils/SqlUtils.java:9)
+        .withColumn(
+            "started_fmt",
+            F.date_format(
+                F.timestamp_seconds("started_at"), "yyyy-MM-dd HH:mm:ss"
+            ),
+        )
+        .withColumn(
+            "finished_fmt",
+            F.date_format(
+                F.timestamp_seconds("finished_at"), "yyyy-MM-dd HH:mm:ss"
+            ),
+        )
         .collect()
     )

@@ -52,15 +52,25 @@ class IndexTables:
 def prepare_docs(docs: DataFrame, use_html: bool = False) -> DataFrame:
     """Corpus → deduped (doc_id, url, site, text, lemmas).
 
+    * URL canonicalization BEFORE dedup (reference F1:
+      WebsiteMapper.java:94-130 ?#-strip + WebPage.java:143-167
+      trailing-slash leniency): `?utm=...`/`#frag`/trailing-slash
+      variants of the same page collapse to one doc — at 100 TB the
+      raw-url dedup alone leaves systematic near-duplicates behind;
+    * non-HTML file URLs rejected (isFile, WebsiteMapper.java:110-130);
     * dedup D2 (reference: WebPage.hasLink crawl-tree dedup) —
-      dropDuplicates on url;
-    * doc_id = xxhash64(url): deterministic, cluster-stable 64-bit id
-      (no auto-increment at 10^12 scale; reference used IDENTITY pks);
+      dropDuplicates on the canonical url;
+    * doc_id = xxhash64(canonical url): deterministic, cluster-stable
+      64-bit id (no auto-increment at 10^12 scale);
     * site = url host (reference scopes the index per site.url).
     """
+    from ..functions.urlnorm import canonical_url, is_file_url
+
     text_col = extract_text_udf(F.col("html")) if use_html else F.col("text")
     return (
-        docs.dropDuplicates(["url"])
+        docs.filter(~is_file_url(F.col("url")))
+        .withColumn("url", canonical_url(F.col("url")))
+        .dropDuplicates(["url"])
         .select(
             F.xxhash64("url").alias("doc_id"),
             "url",
@@ -100,12 +110,18 @@ def prepare_docs_counts(docs: DataFrame, use_html: bool = True) -> DataFrame:
     term_counts) — ~3× less bytes — and lets the UDF run map-side
     straight off the scan. Duplicate urls carry identical text, so
     which copy survives is irrelevant; doc_id = xxhash64(url) makes
-    the dedup key a fixed-width long."""
+    the dedup key a fixed-width long. URL canonicalization (?#-strip,
+    trailing slash, file reject — see prepare_docs) runs before the
+    UDF: it is pure column math on the scan, adds no shuffle, and
+    makes doc_id the canonical identity."""
     from ..functions.udfs import extract_text_udf, term_counts_udf
+    from ..functions.urlnorm import canonical_url, is_file_url
 
     text_col = extract_text_udf(F.col("html")) if use_html else F.col("text")
     return (
-        docs.select(
+        docs.filter(~is_file_url(F.col("url")))
+        .withColumn("url", canonical_url(F.col("url")))
+        .select(
             F.xxhash64("url").alias("doc_id"),
             "url",
             F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),

@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 from ..functions import textproc
 from .postings import BM25_B, BM25_K1, MAX_REL_FREQ, IndexTables
 
+# offset pagination materializes offset+k rows driver-side (reference
+# semantics, SearchResponse.java:42-50) — bound it
+MAX_OFFSET = 10_000
+
 
 def lemmatize_query(query: str) -> list[str]:
     """Driver-side query analysis — same kernel as the corpus UDFs.
@@ -113,19 +117,21 @@ def surviving_terms(
     )
 
 
-def search(
+def _search_candidates(
     spark,
     index: IndexTables,
     query: str,
-    k: int = 20,
-    offset: int = 0,
     site: str | None = None,
     mode: str = "bm25",
     conjunctive: bool = True,
     constants: tuple[int, float] | None = None,
 ) -> DataFrame:
-    """Top-k search → DataFrame(url, doc_id, score) ordered by
-    (score desc, url asc), sliced [offset, offset+k)."""
+    """Scored + conjunctively-filtered candidates (url, doc_id, score)
+    with NO ordering — the shared frame under both search() (which adds
+    the top-k heap) and match_count() (which only counts: pinning a
+    global sort into a count plan is wasted work that becomes a real
+    bottleneck at scale). Returns an empty LocalRelation frame for the
+    empty/pruned/unknown-term cases."""
     lemmas = lemmatize_query(query)
     # Site filter restricts CANDIDATES only; corpus statistics (N,
     # avgdl, df) stay global — filtered retrieval must not change term
@@ -179,12 +185,35 @@ def search(
         # k-of-n relational division (J3): postings are unique per
         # (term, doc) so count == distinct-count
         agg = agg.filter(F.col("n_hit") == n_terms)
+    return agg.select("url", "doc_id", "score")
 
+
+def search(
+    spark,
+    index: IndexTables,
+    query: str,
+    k: int = 20,
+    offset: int = 0,
+    site: str | None = None,
+    mode: str = "bm25",
+    conjunctive: bool = True,
+    constants: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Top-k search → DataFrame(url, doc_id, score) ordered by
+    (score desc, url asc), sliced [offset, offset+k)."""
+    if k < 0 or offset < 0:
+        raise ValueError(f"k and offset must be >= 0 (got k={k}, offset={offset})")
+    if offset > MAX_OFFSET:
+        # the offset slice materializes offset+k rows on the driver —
+        # deep pagination should re-query with a score cursor instead
+        raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
+    cand = _search_candidates(
+        spark, index, query, site=site, mode=mode, conjunctive=conjunctive,
+        constants=constants,
+    )
     # deterministic total order: (score desc, doc_id asc) — the same
     # tie-break the packed/WAND path and the oracle use (rank-identity)
-    out = agg.select("url", "doc_id", "score").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
+    out = cand.orderBy(F.desc("score"), F.asc("doc_id"))
     rows_needed = offset + k
     out = out.limit(rows_needed)  # TakeOrderedAndProject: distributed top-k heap
     if offset:
@@ -237,10 +266,11 @@ def match_count(spark, index: IndexTables, query: str,
                 site: str | None = None,
                 constants: tuple[int, float] | None = None) -> int:
     """A5: total matches before pagination (reference:
-    ApiService.java:104-113)."""
-    res = search(spark, index, query, k=2**31 - 1, offset=0, site=site,
-                 constants=constants)
-    return res.count()
+    ApiService.java:104-113). Counts the pre-sort candidate frame —
+    the plan contains no Sort/TakeOrdered (counting needs no order)."""
+    return _search_candidates(
+        spark, index, query, site=site, constants=constants
+    ).count()
 
 
 def empty_df(spark, cols: str) -> DataFrame:

@@ -10,7 +10,10 @@ Scale notes (10^9+ vectors):
   * brute force is queries × corpus: fine for a broadcast-able query
     set (Q ≤ thousands) since the corpus side never shuffles — each
     partition scores its vectors against all Q and emits only its
-    local top-k (partial TakeOrdered), then one tiny final top-k;
+    local top-k via a same-stage mapInPandas reducer (_local_topk —
+    no exchange between the scoring projection and the reducer), so
+    the one shuffle that follows carries ≤ n_partitions·Q·k rows, not
+    |corpus|·Q; a tiny window then ranks the merged candidates;
   * LSH path cuts the scored candidates to one bucket per query
     (expected corpus/2^planes of the data): the bucket id is a
     partition-prunable join key at scale;
@@ -73,6 +76,43 @@ def lsh_bucket_col(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def _local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition partial top-k per q_vec_id — the ANN analog of the
+    map-side combine in TakeOrderedAndProject. Runs as mapInPandas in
+    the SAME stage as the scoring projection (no exchange before it),
+    so the downstream shuffle/window sees at most n_partitions·Q·k rows
+    instead of |corpus|·Q. The global top-k under the total order
+    (cos desc, vec_id asc) is a subset of the union of per-partition
+    top-ks under that order, so the final window result is identical to
+    ranking the full scored frame.
+
+    Input must have columns (q_vec_id, vec_id, cos); each Arrow batch
+    is truncated first so a partition never materializes more than
+    batch + Q·k rows in pandas."""
+    schema = scored.schema
+
+    def run(batches):
+        import pandas as pd
+
+        def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            return (
+                pdf.sort_values(["cos", "vec_id"], ascending=[False, True])
+                .groupby("q_vec_id", sort=False)
+                .head(k)
+            )
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            part = topk(pdf)
+            acc = part if acc is None else topk(pd.concat([acc, part]))
+        if acc is not None:
+            yield acc
+
+    return scored.mapInPandas(run, schema=schema)
+
+
 def ann_brute_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -82,7 +122,9 @@ def ann_brute_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector:
     (q_vec_id, vec_id, cos_sim, rank). Self-matches excluded; ties
-    broken by vec_id asc (deterministic)."""
+    broken by vec_id asc (deterministic). Scoring is native column
+    math; the only Python crossing is the bounded per-partition top-k
+    reducer (_local_topk)."""
     q = (
         emb.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec"))
@@ -98,7 +140,8 @@ def ann_brute_topk(
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        _local_topk(scored, k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "vec_id", _e4(F.col("cos")).alias("cos_e4"), "rank")
     )
@@ -144,13 +187,14 @@ def ann_lsh_topk(
     cand = withb.join(
         F.broadcast(q), withb.bucket == q.q_bucket
     ).filter(F.col("vec_id") != F.col("q_vec_id"))
+    scored = cand.select(
+        "q_vec_id",
+        "vec_id",
+        cosine_col(F.col("q_vec"), F.col("vec")).alias("cos"),
+    )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        cand.select(
-            "q_vec_id",
-            "vec_id",
-            cosine_col(F.col("q_vec"), F.col("vec")).alias("cos"),
-        )
+        _local_topk(scored, k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "vec_id", _e4(F.col("cos")).alias("cos_e4"), "rank")

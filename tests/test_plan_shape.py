@@ -61,6 +61,89 @@ def test_search_plan_pushdown_and_topk(spark, built):
     assert "SortMergeJoin" not in plan
 
 
+def test_match_count_plan_has_no_sort(spark, built):
+    """A5: counting matches must not pin a global sort into the plan
+    (VERDICT r1 #6) — count runs on the pre-sort candidate frame."""
+    from searchengine_spark.operators.search import _search_candidates
+
+    idx, _, n, avgdl = built
+    cand = _search_candidates(spark, idx, "быстрый поиск", constants=(n, avgdl))
+    plan = _plan(cand)
+    assert "TakeOrderedAndProject" not in plan
+    assert "Sort " not in plan and "Sort\n" not in plan
+
+
+def test_ann_topk_partial_before_shuffle(spark):
+    """ANN top-k: per-partition partial top-k (mapInPandas) must run in
+    the SAME stage as the scoring projection, so the one rank shuffle
+    never carries |corpus|·Q rows (VERDICT r1 #4). The executedPlan
+    tree is root-first: every 'Exchange hashpartitioning' must sit
+    ABOVE (before) the MapInPandas node — none in its input subtree."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for df in (
+        similarity.ann_brute_topk(emb, [0, 1], k=5),
+        similarity.ann_lsh_topk(emb, [0, 1], dim=64, k=5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        i_map = plan.find("MapInPandas")
+        assert i_map != -1, "no partial top-k node in plan"
+        assert plan.find("Window") < i_map, "rank window not above partial top-k"
+        assert "Exchange hashpartitioning" not in plan[i_map:], (
+            "scored rows shuffled before the partial top-k"
+        )
+
+    # correctness: partial + merge == plain global window top-k
+    q = (
+        emb.filter(F.col("vec_id").isin([0, 1]))
+        .select(F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_vec"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            similarity.cosine_col(F.col("q_vec"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ref = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_vec_id", "vec_id", "rank")
+    )
+    got = similarity.ann_brute_topk(emb, [0, 1], k=5).select(
+        "q_vec_id", "vec_id", "rank"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_ngram_jaccard_no_big_broadcast(spark):
+    """The per-doc size frames are O(N) rows — they must join by
+    shuffle, never broadcast (VERDICT r1 #5). With auto-broadcast off,
+    the only BroadcastHashJoin left is the bounded hot-shingle df-cut."""
+    from searchengine_spark.operators import dedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = dedup.ngram_jaccard_pairs(docs)._jdf.queryExecution(
+        ).executedPlan().toString()
+        bhj_lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+        assert bhj_lines, "df-cut anti-join should still broadcast"
+        # every broadcast is the bounded hot-shingle cut (LeftAnti);
+        # the O(N)-row size joins must be shuffle joins
+        assert all("LeftAnti" in ln for ln in bhj_lines), bhj_lines
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_wand_plan_term_pruned(spark, built):
     idx, segments, n, avgdl = built
     out = search_packed(
