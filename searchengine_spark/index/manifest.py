@@ -85,6 +85,41 @@ def build_packed_resumable(
     write for the kill/resume test."""
     from .segments import INDEX_SEGMENTS_SCHEMA, _pack_group  # noqa: F401
 
+    # Resume safety: shard/group mapping is part of the build identity.
+    # If the manifest already has rows for this stage, the recorded
+    # n_shards/n_groups are authoritative — a restart on a machine with
+    # a different core count (defaultParallelism feeds n_shards_for)
+    # must NOT silently mix two shard mappings in one index (conjunctive
+    # WAND assumes shards partition the doc space). Reuse the recorded
+    # values when the caller left them open; raise on a hard mismatch.
+    recorded = (
+        read_manifest(spark, base)
+        .filter(F.col("stage") == "pack_segments")
+        .select("n_shards", "n_groups")
+        .distinct()
+        .collect()
+    )
+    if len(recorded) > 1:
+        raise ValueError(
+            f"corrupt manifest at {base}: multiple shard mappings {recorded}"
+        )
+    if recorded:
+        rec_shards = int(recorded[0]["n_shards"])
+        rec_groups = int(recorded[0]["n_groups"])
+        if n_shards is None:
+            n_shards = rec_shards
+        elif n_shards != rec_shards:
+            raise ValueError(
+                f"n_shards={n_shards} conflicts with the manifest's "
+                f"{rec_shards} — resume with the recorded value or "
+                f"rebuild from scratch"
+            )
+        if n_groups != rec_groups:
+            raise ValueError(
+                f"n_groups={n_groups} conflicts with the manifest's "
+                f"{rec_groups} — resume with the recorded value or "
+                f"rebuild from scratch"
+            )
     if n_shards is None:
         n_shards = n_shards_for(
             n_docs, min_parallelism=spark.sparkContext.defaultParallelism
@@ -99,8 +134,31 @@ def build_packed_resumable(
     )
 
     # partition-overwrite so a crashed group's partial partitions are
-    # replaced, not duplicated, on retry
+    # replaced, not duplicated, on retry; session value restored after
+    # the build (a later partitioned write elsewhere in the session
+    # must keep the user's overwrite semantics)
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        _run_groups(
+            spark, base, sharded, index, n_docs, avgdl, n_shards,
+            n_groups, run_id, done, fail_after_group,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+
+    return spark.read.parquet(f"{base}/segments")
+
+
+def _run_groups(
+    spark, base, sharded, index, n_docs, avgdl, n_shards, n_groups,
+    run_id, done, fail_after_group,
+) -> None:
+    from .segments import INDEX_SEGMENTS_SCHEMA, _pack_group
 
     for g in range(n_groups):
         if g in done:
@@ -157,5 +215,3 @@ def build_packed_resumable(
         )
         if fail_after_group is not None and g == fail_after_group:
             raise RuntimeError(f"injected failure after group {g}")
-
-    return spark.read.parquet(f"{base}/segments")

@@ -1,0 +1,188 @@
+"""Exact statistics refresh + repack after incremental deltas.
+
+Delta runs (index.segments.delta_segments) score with the BASE corpus
+statistics (n_docs/avgdl/df) — the standard small-delta approximation.
+This maintenance pass removes the approximation entirely: it
+re-derives the TRUE current corpus state from the stored runs
+(doc-level last-run-wins — a re-landed document supersedes ALL its old
+postings, exactly like the reference's delete-then-reinsert reindex,
+services/IndexingService.java:139-162,234-250), re-aggregates
+term_stats / doc_stats / (n_docs, avgdl) exactly, and repacks every
+segment with the fresh statistics. The result is byte-identical to a
+cold full rebuild of the same corpus state
+(tests/test_refresh.py) — the idempotent re-aggregation SURVEY §3.3
+mandates, with no ±1 stat mutation anywhere.
+
+Doc-level supersede beats the query path's per-(term, shard) last-wins
+merge: that merge cannot drop a term the updated document no longer
+contains (segments of different terms never see each other). Between a
+delta and the next refresh, queries may therefore still see a removed
+term's stale posting — a documented staleness window that this pass
+closes. Compaction (scripts/compact.py) IS this pass.
+
+Run-id discipline: the repacked output is written as run_id=0 — the
+merged state is semantically the OLDEST run (everything newer must win
+over it), so future delta runs (strictly increasing ids from the
+streaming batch counter) can never collide with a compaction id
+(the collision the old max+1 scheme had). Maintenance assumes a
+single writer: pause ingestion for the swap (the reference likewise
+serializes reindex against maintenance).
+
+Scale notes (10^12 docs): every step is a bounded shuffle —
+unpack is a zero-shuffle mapInPandas over segment rows; the doc-level
+keep-run map is one groupBy(doc_id); the repack reuses the stored
+shard column (the global doc-space hash partitioning), so the
+applyInPandas groups stay ≤ docs_per_shard postings regardless of term
+skew, same as the cold build.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.postings import IndexTables, write_index
+from ..schemas import INDEX_SEGMENTS_SCHEMA
+from .segments import _pack_group, unpack_segment
+
+UNPACKED_SCHEMA = (
+    "term string, shard int, doc_id long, tf long, doclen long, run_id int"
+)
+
+
+def unpack_postings(segments: DataFrame) -> DataFrame:
+    """Packed runs → relational (term, shard, doc_id, tf, doclen,
+    run_id). Pure map over segment rows (no grouping, no shuffle)."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                ids, tfs, dls = unpack_segment(row)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "term": row["term"],
+                            "shard": int(row["shard"]),
+                            "doc_id": ids,
+                            "tf": tfs,
+                            "doclen": dls,
+                            "run_id": int(row["run_id"]),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cols = ["term", "shard", "run_id", "doc_ids", "tfs", "doclens"]
+    return segments.select(*cols).mapInPandas(run, schema=UNPACKED_SCHEMA)
+
+
+def current_postings(segments: DataFrame) -> DataFrame:
+    """Doc-level last-run-wins view of the stored runs: every posting
+    of a document's LATEST run, nothing from older runs (supersede,
+    not per-term merge)."""
+    unpacked = unpack_postings(segments)
+    keep = unpacked.groupBy("doc_id").agg(F.max("run_id").alias("keep_run"))
+    return unpacked.join(keep, "doc_id").filter(
+        F.col("run_id") == F.col("keep_run")
+    ).drop("keep_run")
+
+
+def _doc_meta(spark: SparkSession, base: str) -> DataFrame:
+    """(doc_id, url, site) with doc-level last-wins across the base
+    doc_stats (run 0) and the per-delta meta appends
+    (idx/doc_meta_runs, written by write_delta_run)."""
+    meta = spark.read.parquet(f"{base}/idx/doc_stats").select(
+        "doc_id", "url", "site", F.lit(0).alias("mrun")
+    )
+    delta_path = f"{base}/idx/doc_meta_runs"
+    try:
+        deltas = spark.read.parquet(delta_path).select(
+            "doc_id", "url", "site", F.col("run_id").alias("mrun")
+        )
+        meta = meta.unionByName(deltas)
+    except Exception:
+        pass  # no deltas landed yet
+    latest = meta.groupBy("doc_id").agg(F.max("mrun").alias("mrun"))
+    return meta.join(latest, ["doc_id", "mrun"]).select("doc_id", "url", "site")
+
+
+def refresh_and_repack(
+    spark: SparkSession, base: str, run_id: int = 0
+) -> tuple[IndexTables, DataFrame]:
+    """Re-aggregate exact stats from all runs and repack <base> in
+    place: idx/{postings,term_stats,doc_stats} overwritten with the
+    true current state, segments/ rewritten as a single run scored
+    with the fresh (n_docs, avgdl, df). Returns (tables, segments)."""
+    seg_path = f"{base}/segments"
+    segments = spark.read.parquet(seg_path)
+    cur = current_postings(segments).cache()
+
+    # exact re-aggregation (A2 + doclen + corpus constants)
+    dl = cur.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doclen"))
+    term_stats = cur.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    doc_stats = (
+        _doc_meta(spark, base)
+        .join(dl, "doc_id", "left")
+        .fillna(0, subset=["doclen"])
+    )
+    totals = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
+    ).collect()[0]
+    n_docs = int(totals["n"])
+    avgdl = (float(totals["s"]) / n_docs) if n_docs else 0.0
+
+    # repack with fresh stats; shard column is reused verbatim (the
+    # global doc-space hash partitioning never changes on refresh)
+    enriched = (
+        cur.select("term", "shard", "doc_id", "tf")
+        .join(dl, "doc_id")
+        .join(term_stats.select("term", "df"), "term")
+    )
+    repacked = enriched.groupBy("term", "shard").applyInPandas(
+        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id),
+        schema=INDEX_SEGMENTS_SCHEMA,
+    )
+    tmp = f"{seg_path}.refreshing"
+    (
+        repacked.repartition("shard")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+
+    # the new idx tables still READ from the old idx/segments paths
+    # (doc_stats ← idx/doc_stats via _doc_meta, postings ← segments),
+    # so everything lands in temp dirs first and swaps by rename —
+    # never overwrite a path a lazy plan is reading
+    idx_path = f"{base}/idx"
+    tmp_idx = f"{idx_path}.refreshing"
+    tables = IndexTables(
+        postings=cur.select("term", "doc_id", F.col("tf").cast("int").alias("tf")),
+        term_stats=term_stats,
+        doc_stats=doc_stats.select("doc_id", "url", "site", "doclen"),
+    )
+    write_index(tables, tmp_idx)
+    cur.unpersist()
+
+    # atomic-ish swaps (rename); on object stores use a catalog pointer
+    # or snapshot replace instead
+    for path, fresh in ((seg_path, tmp), (idx_path, tmp_idx)):
+        old = f"{path}.old"
+        os.rename(path, old)
+        os.rename(fresh, path)
+        shutil.rmtree(old, ignore_errors=True)
+    # superseded delta meta is folded into doc_stats now
+    shutil.rmtree(f"{base}/idx/doc_meta_runs", ignore_errors=True)
+
+    from ..operators.postings import read_index
+
+    return read_index(spark, idx_path), spark.read.parquet(seg_path)

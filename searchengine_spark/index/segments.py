@@ -184,8 +184,8 @@ def delta_segments(
 
     df/doclen statistics for the delta reuse the BASE corpus stats
     (n_docs, avgdl, term df) — the standard approximation for small
-    deltas; a stats refresh pass re-aggregates exactly (idempotent,
-    no ±1 mutation — SURVEY §3.3)."""
+    deltas; index.refresh.refresh_and_repack re-aggregates exactly
+    (idempotent, no ±1 mutation — SURVEY §3.3) and closes the window."""
     postings = (
         delta_prepared.select(
             "doc_id", F.explode("term_counts").alias("tc")
@@ -211,6 +211,42 @@ def delta_segments(
         lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id),
         schema=INDEX_SEGMENTS_SCHEMA,
     )
+
+
+def write_delta_run(
+    spark,
+    delta_prepared: DataFrame,
+    index_base: str,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    n_shards: int,
+    run_id: int,
+) -> None:
+    """Append one delta run: packed segments (delta_segments) PLUS the
+    delta docs' meta rows (doc_id, url, site, doclen, run_id) to
+    idx/doc_meta_runs — the breadcrumb refresh_and_repack needs to
+    rebuild doc_stats exactly (url/site are not recoverable from
+    packed postings). Both writes are appends; the run becomes visible
+    to queries via last-run-wins merge immediately."""
+    delta = delta_segments(
+        delta_prepared, term_stats, n_docs=n_docs, avgdl=avgdl,
+        n_shards=n_shards, run_id=run_id,
+    )
+    (
+        delta.repartition("shard")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(f"{index_base}/segments")
+    )
+    meta = delta_prepared.select(
+        "doc_id", "url", "site",
+        F.aggregate(
+            "term_counts", F.lit(0), lambda acc, tc: acc + tc["tf"]
+        ).cast("long").alias("doclen"),
+        F.lit(run_id).cast("int").alias("run_id"),
+    )
+    meta.write.mode("append").parquet(f"{index_base}/idx/doc_meta_runs")
 
 
 def merge_runs(segments: DataFrame, n_docs: int, avgdl: float, run_id: int = 0) -> DataFrame:

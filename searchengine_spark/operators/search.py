@@ -87,11 +87,16 @@ def bm25_score_py(tf: int, df: int, doclen: int, n_docs: int, avgdl: float,
 
 def corpus_constants(doc_stats: DataFrame) -> tuple[int, float]:
     """(N, avgdl) — two scalars; cache doc_stats upstream for repeated
-    queries."""
+    queries. avgdl = sum(doclen)/N computed from the EXACT integer sum
+    (not F.avg, whose float accumulation is partition-order dependent):
+    the same value bit-for-bit on every run and in every recomputation
+    path (oracle sum()/n, refresh_and_repack), so block-max scores are
+    reproducible."""
     row = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+        F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
     ).collect()[0]
-    return int(row["n"]), float(row["avgdl"] or 0.0)
+    n = int(row["n"])
+    return n, (float(row["s"]) / n if n else 0.0)
 
 
 def surviving_terms(

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from ..index.segments import delta_segments
+from ..index.segments import write_delta_run
 from ..operators.postings import prepare_docs_counts
 from ..schemas import DOCS_SCHEMA
 
@@ -52,19 +52,20 @@ def start_incremental_indexer(
 
     def process_batch(batch_df, batch_id: int) -> None:
         prepared = prepare_docs_counts(batch_df, use_html=use_html)
-        delta = delta_segments(
+        # run_id = base + batch_id + 1 is strictly increasing (the
+        # streaming batch counter is checkpointed and monotonic) and
+        # can never collide with a compaction run: refresh_and_repack
+        # writes the merged state as run 0 — semantically the OLDEST
+        # run — never max+1
+        write_delta_run(
+            spark,
             prepared,
+            index_base,
             term_stats,
             n_docs=n_docs,
             avgdl=avgdl,
             n_shards=n_shards,
             run_id=base_run_id + int(batch_id) + 1,
-        )
-        (
-            delta.repartition("shard")
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(f"{index_base}/segments")
         )
 
     stream = (

@@ -1,0 +1,156 @@
+"""Stats refresh + repack (index/refresh.py): after delta runs land,
+refresh_and_repack must reproduce EXACTLY what a cold full rebuild of
+the same corpus state produces — segments byte-identical (varbyte
+streams, df, block-max scores bitwise) and idx tables row-identical.
+This is the idempotent re-aggregation the reference's reindex path
+implies (IndexingService.java:164-200,234-250; SURVEY §3.3): no ±1
+stat mutation, no stale df/avgdl left anywhere.
+
+Also locks doc-level supersede: a re-landed document REPLACES all its
+old postings — terms it no longer contains must stop matching after
+refresh (the per-(term, shard) read-time merge cannot do this, since
+segments of different terms never see each other)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.refresh import refresh_and_repack
+from searchengine_spark.index.segments import build_segments, write_delta_run, write_segments
+from searchengine_spark.index.wand import search_packed
+from searchengine_spark.operators.postings import (
+    build_index,
+    prepare_docs_counts,
+    read_index,
+    write_index,
+)
+from searchengine_spark.operators.search import corpus_constants
+from searchengine_spark.sources.corpus import corpus_df
+
+N_BASE = 150
+N_ALL = 170
+N_SHARDS = 4
+NEWTERM = "освеженныйтермин"  # OOV → identity lemma
+
+
+def _delta_docs(spark):
+    """10 updates of existing urls (text fully replaced — old terms
+    disappear) + the 20 genuinely new docs of corpus_df(170)."""
+    base = corpus_df(spark, N_BASE)
+    allc = corpus_df(spark, N_ALL)
+    new = allc.join(base.select("url"), "url", "left_anti")
+    updated = (
+        base.orderBy("url").limit(10)
+        .withColumn("text", F.concat_ws(" ", F.lit(NEWTERM), F.lit("просто")))
+        .withColumn(
+            "html",
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ),
+        )
+    )
+    return updated.unionByName(new), updated
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("refresh"))
+    base_docs = corpus_df(spark, N_BASE)
+    delta, updated = _delta_docs(spark)
+
+    # --- incremental path: base build → delta run → refresh ---
+    inc = f"{tmp}/inc"
+    idx0 = build_index(base_docs, use_html=True)
+    write_index(idx0, f"{inc}/idx")
+    idx = read_index(spark, f"{inc}/idx")
+    n, avgdl = corpus_constants(idx.doc_stats)
+    write_segments(build_segments(idx, n, avgdl, n_shards=N_SHARDS),
+                   f"{inc}/segments")
+    prepared = prepare_docs_counts(delta, use_html=True)
+    write_delta_run(
+        spark, prepared, inc, idx.term_stats, n_docs=n, avgdl=avgdl,
+        n_shards=N_SHARDS, run_id=1,
+    )
+    r_idx, r_segs = refresh_and_repack(spark, inc)
+
+    # --- cold path: the same corpus state built from scratch ---
+    cold_docs = base_docs.join(
+        updated.select("url"), "url", "left_anti"
+    ).unionByName(delta)
+    cold = f"{tmp}/cold"
+    cidx0 = build_index(cold_docs, use_html=True)
+    write_index(cidx0, f"{cold}/idx")
+    cidx = read_index(spark, f"{cold}/idx")
+    cn, cavgdl = corpus_constants(cidx.doc_stats)
+    write_segments(build_segments(cidx, cn, cavgdl, n_shards=N_SHARDS),
+                   f"{cold}/segments")
+    c_segs = spark.read.parquet(f"{cold}/segments")
+    return r_idx, r_segs, cidx, c_segs, (cn, cavgdl)
+
+
+def _seg_key(r):
+    return (r["term"], r["shard"])
+
+
+def test_segments_byte_identical_to_cold_rebuild(built):
+    _, r_segs, _, c_segs, _ = built
+    rows_r = {_seg_key(r): r for r in r_segs.collect()}
+    rows_c = {_seg_key(r): r for r in c_segs.collect()}
+    assert rows_r.keys() == rows_c.keys()
+    for k, rr in rows_r.items():
+        rc = rows_c[k]
+        assert rr["run_id"] == rc["run_id"] == 0, k
+        for col in (
+            "n_docs", "df", "doc_ids", "tfs", "doclens",
+            "block_last_doc", "block_max_score",
+            "block_off_ids", "block_off_tfs", "block_off_dls",
+        ):
+            assert rr[col] == rc[col], (k, col)
+
+
+def test_idx_tables_identical_to_cold_rebuild(built):
+    r_idx, _, cidx, _, (cn, cavgdl) = built
+    rn, ravgdl = corpus_constants(r_idx.doc_stats)
+    assert (rn, ravgdl) == (cn, cavgdl)
+
+    def rows(df, *cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(r_idx.doc_stats, "doc_id", "url", "site", "doclen") == rows(
+        cidx.doc_stats, "doc_id", "url", "site", "doclen"
+    )
+    assert rows(r_idx.term_stats, "term", "df", "cf") == rows(
+        cidx.term_stats, "term", "df", "cf"
+    )
+    assert rows(r_idx.postings, "term", "doc_id", "tf") == rows(
+        cidx.postings, "term", "doc_id", "tf"
+    )
+
+
+def test_doc_level_supersede_drops_removed_terms(spark, built):
+    """An updated doc's OLD terms must stop matching after refresh,
+    and the new term must match with exact refreshed stats."""
+    r_idx, r_segs, _, _, _ = built
+    n, avgdl = corpus_constants(r_idx.doc_stats)
+    hits = search_packed(
+        spark, r_segs, r_idx.term_stats, n, avgdl, NEWTERM, k=20
+    ).collect()
+    assert len(hits) == 10  # exactly the 10 updated docs
+
+    # updated docs must NOT appear for a term only their OLD text had:
+    # their old texts were generator paragraphs; pick one old doc's
+    # distinctive token stream and assert the updated doc ids are gone
+    updated_ids = {r["doc_id"] for r in hits}
+    # every posting of an updated doc must carry the new doclen (2)
+    pl = (
+        r_idx.postings.filter(F.col("doc_id").isin(list(updated_ids)))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .collect()
+    )
+    assert all(r["dl"] == 2 for r in pl)
