@@ -51,7 +51,10 @@ def extract_text(html: bytes | str | None) -> str | None:
 
     Steps: utf-8 decode → drop <script>/<style>/comments → strip tags →
     unescape entities → '\n','\t'→' ' → collapse 2+ spaces → strip one
-    leading space.
+    leading space. The '&' containment pre-check skips the six entity
+    replace passes when no entity can be present — pure fast path, the
+    output is identical either way ('&' is exact: every entity starts
+    with it).
     """
     if html is None:
         return None
@@ -62,8 +65,9 @@ def extract_text(html: bytes | str | None) -> str | None:
     s = _SCRIPT_STYLE_RE.sub("", s)
     s = _COMMENT_RE.sub("", s)
     s = _TAG_RE.sub("", s)
-    for ent, ch in _ENTITIES:
-        s = s.replace(ent, ch)
+    if "&" in s:
+        for ent, ch in _ENTITIES:
+            s = s.replace(ent, ch)
     s = s.replace("\n", " ").replace("\t", " ")
     s = _MULTISPACE_RE.sub(" ", s)
     if s.startswith(" "):
@@ -79,9 +83,17 @@ def extract_text(html: bytes | str | None) -> str | None:
 # ([А-Яа-яёЁ -], LemmaMapper.java:84); we extend with Latin+digits so the
 # engine also serves non-Russian corpora. TOKEN_MODE='ru' reproduces the
 # reference class exactly.
+# Implementation note: the reference's replace-with-space + split-on-space
+# yields exactly the maximal runs of in-class characters, so a single
+# findall of the positive class is byte-equivalent and ~2× faster than
+# sub + split (locked by test_textproc + a fuzz equivalence test).
 _KEEP_RE = {
-    "general": re.compile(r"[^a-zа-яё0-9\- ]"),
+    "general": re.compile(r"[^a-zа-яё0-9\- ]"),  # kept for documentation
     "ru": re.compile(r"[^а-яё\- ]"),
+}
+_TOKEN_RE = {
+    "general": re.compile(r"[a-zа-яё0-9\-]+"),
+    "ru": re.compile(r"[а-яё\-]+"),
 }
 
 
@@ -90,12 +102,12 @@ def tokenize(text: str | None, mode: str = "general") -> list[str]:
     empty/'-'-only tokens, trim leading/trailing hyphens."""
     if text is None:
         return []
-    s = _KEEP_RE[mode].sub(" ", text.lower())
     out: list[str] = []
-    for tok in s.split(" "):
+    append = out.append
+    for tok in _TOKEN_RE[mode].findall(text.lower()):
         tok = tok.strip("-")
         if tok:
-            out.append(tok)
+            append(tok)
     return out
 
 
@@ -104,21 +116,41 @@ def tokenize(text: str | None, mode: str = "general") -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+# surface → tuple of lemmas with the stop-POS filter pre-applied: the
+# per-token hot path is then one dict probe, no per-call list build
+_LEMMA_FLAT: dict[str, tuple[str, ...]] = {
+    s: tuple(lm for lm, pos in pairs if pos not in STOP_POS)
+    for s, pairs in LEMMA_DICT.items()
+}
+
+
 def lemmatize_token(tok: str) -> list[str]:
     """One surface token → 0..N lemmas (multi-lemma expansion kept,
     stop-POS candidates dropped, identity fallback for OOV)."""
-    pairs = LEMMA_DICT.get(tok)
-    if pairs is None:
-        return [tok]
-    return [lemma for lemma, pos in pairs if pos not in STOP_POS]
+    hit = _LEMMA_FLAT.get(tok)
+    return [tok] if hit is None else list(hit)
 
 
 def tokenize_lemmatize(text: str | None, mode: str = "general") -> list[str]:
     """text → flattened lemma list (the per-doc token stream whose
-    counts form the postings; reference: LemmaMapper.java:15-43)."""
+    counts form the postings; reference: LemmaMapper.java:15-43).
+    Fused tokenize+lemmatize loop — this is the single hottest Python
+    path in the build (once per corpus token), so it avoids the
+    intermediate token list and per-token function calls."""
+    if text is None:
+        return []
     out: list[str] = []
-    for tok in tokenize(text, mode):
-        out.extend(lemmatize_token(tok))
+    append, extend = out.append, out.extend
+    flat_get = _LEMMA_FLAT.get
+    for tok in _TOKEN_RE[mode].findall(text.lower()):
+        tok = tok.strip("-")
+        if not tok:
+            continue
+        hit = flat_get(tok)
+        if hit is None:
+            append(tok)
+        else:
+            extend(hit)
     return out
 
 

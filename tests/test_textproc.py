@@ -79,3 +79,53 @@ def test_snippet_no_hit_and_inflected():
     assert textproc.make_snippet("a b c", ["индекс"]) == ""
     # inflected surface form still matches via lemmatization
     assert "<b>индексы</b>" in textproc.make_snippet("про индексы тут", ["индекс"])
+
+
+# --- equivalence fuzz: the findall fast path must match the reference
+# sub+split formulation byte-for-byte on arbitrary input ---------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.functions.textproc import _KEEP_RE, tokenize, tokenize_lemmatize
+from searchengine_spark.functions.lemma_dict import LEMMA_DICT, STOP_POS
+
+
+def _tokenize_reference(text, mode="general"):
+    """The original sub+split formulation (reference semantics)."""
+    s = _KEEP_RE[mode].sub(" ", text.lower())
+    out = []
+    for tok in s.split(" "):
+        tok = tok.strip("-")
+        if tok:
+            out.append(tok)
+    return out
+
+
+def _lemmatize_reference(text, mode="general"):
+    out = []
+    for tok in _tokenize_reference(text, mode):
+        pairs = LEMMA_DICT.get(tok)
+        if pairs is None:
+            out.append(tok)
+        else:
+            out.extend(lm for lm, pos in pairs if pos not in STOP_POS)
+    return out
+
+
+_ALPHABET = st.characters(
+    codec="utf-8", categories=("L", "N", "P", "Z", "S", "C")
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_ALPHABET, max_size=200))
+def test_tokenize_findall_equals_sub_split(s):
+    for mode in ("general", "ru"):
+        assert tokenize(s, mode) == _tokenize_reference(s, mode)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_ALPHABET, max_size=200))
+def test_tokenize_lemmatize_fused_equals_reference(s):
+    assert tokenize_lemmatize(s) == _lemmatize_reference(s)
