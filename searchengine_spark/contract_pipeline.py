@@ -255,6 +255,102 @@ def q_ann_lsh_bucket(spark, sf_dir):
     )
 
 
+# --- IVF ANN: full-training oracle ------------------------------------------
+# Reproduces similarity.ivf_train + ann_ivf_topk end-to-end in SQL:
+# e4 quantization → K=8 init (smallest vec_ids) → 2 Lloyd iterations
+# with exact integer cluster sums (order-insensitive) and
+# keep-previous-on-empty → final cell assignment → nprobe=2 probe →
+# exact cosine rank within probed cells. Every float op has identical
+# literal structure on both sides (see similarity.py IVF notes).
+
+_IVF_DIM_RANGE = f"range(1, {EMB_DIM + 1})"
+
+
+def _ivf_dist_sql(qv: str, c: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform({_IVF_DIM_RANGE},"
+        f" j -> ({qv}[j]::DOUBLE - {c}[j]) * ({qv}[j]::DOUBLE - {c}[j]))),"
+        f" (a, b) -> a + b)"
+    )
+
+
+def _ivf_iter_sql(i: int, prev_c: str) -> str:
+    """CTEs d{i}/a{i}/n{i}/c{i}: assign against prev_c, re-estimate."""
+    return f"""
+d{i} AS (
+  SELECT v.vec_id, {prev_c}.k,
+         {_ivf_dist_sql('v.qv', f'{prev_c}.c')} AS dist
+  FROM qv v CROSS JOIN {prev_c}
+),
+a{i} AS (SELECT vec_id, k FROM (
+  SELECT vec_id, k,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+  FROM d{i}) WHERE rn = 1),
+n{i} AS (
+  SELECT a{i}.k, js.j, sum(v.qv[js.j])::BIGINT AS s, count(*)::BIGINT AS cnt
+  FROM a{i} JOIN qv v USING (vec_id)
+  CROSS JOIN (SELECT unnest({_IVF_DIM_RANGE}) AS j) js
+  GROUP BY a{i}.k, js.j
+),
+c{i} AS (
+  SELECT {prev_c}.k, coalesce(n.cl, {prev_c}.c) AS c
+  FROM {prev_c} LEFT JOIN (
+    SELECT k, list(s / cnt ORDER BY j) AS cl FROM n{i} GROUP BY k
+  ) n USING (k)
+)"""
+
+
+_SQL_ANN_IVF = f"""
+WITH qv AS (
+  SELECT vec_id, embedding,
+         list_transform({_IVF_DIM_RANGE},
+           j -> floor(embedding[j]::DOUBLE * 10000.0 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+         list_transform(qv, x -> x::DOUBLE) AS c
+  FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id
+        LIMIT {similarity.IVF_K})
+),{_ivf_iter_sql(1, 'c0')},{_ivf_iter_sql(2, 'c1')},
+d3 AS (
+  SELECT v.vec_id, c2.k, {_ivf_dist_sql('v.qv', 'c2.c')} AS dist
+  FROM qv v CROSS JOIN c2
+),
+a3 AS (SELECT vec_id, k FROM (
+  SELECT vec_id, k,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+  FROM d3) WHERE rn = 1),
+pr AS (SELECT vec_id AS q_vec_id, k FROM (
+  SELECT vec_id, k,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+  FROM d3 WHERE vec_id IN ({_IDS})) WHERE rn <= {similarity.IVF_NPROBE}),
+cand AS (
+  SELECT pr.q_vec_id, a3.vec_id
+  FROM pr JOIN a3 USING (k)
+  WHERE a3.vec_id <> pr.q_vec_id
+),
+s AS (SELECT c.q_vec_id, c.vec_id,
+        {_cos_sql('qe.embedding', 'e.embedding')} AS cos
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.q_vec_id
+      JOIN embeddings e ON e.vec_id = c.vec_id),
+r AS (SELECT q_vec_id, vec_id, cos,
+        row_number() OVER (PARTITION BY q_vec_id
+                           ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank
+      FROM s)
+SELECT q_vec_id, vec_id, floor(cos * 10000.0 + 0.5)::BIGINT AS cos_e4, rank
+FROM r WHERE rank <= 10
+"""
+
+
+@_reg("q_ann_ivf", _SQL_ANN_IVF)
+def q_ann_ivf(spark, sf_dir):
+    return similarity.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, dim=EMB_DIM, k=10
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 _STOP_IN = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)

@@ -49,6 +49,24 @@ class IndexTables:
     doc_stats: DataFrame  # doc_id, url, site, doclen
 
 
+def filter_valid_pages(docs: DataFrame) -> DataFrame:
+    """F2 + F5 (reference: WebsiteMapper.java:55-57 redirect drop;
+    WebPage.java:109-111 valid-page guard): keep only fetch-succeeded
+    pages with content. `code` is optional in the corpus schema (the
+    BASELINE input_hint has no status column — pre-landed corpora are
+    usually already 200-only); when present, only code==200 survives.
+    Null html AND null text rows are dropped either way."""
+    out = docs
+    if "code" in docs.columns:
+        out = out.filter(F.col("code") == 200)
+    has_content = F.lit(False)
+    if "html" in docs.columns:
+        has_content = has_content | F.col("html").isNotNull()
+    if "text" in docs.columns:
+        has_content = has_content | F.col("text").isNotNull()
+    return out.filter(has_content)
+
+
 def prepare_docs(docs: DataFrame, use_html: bool = False) -> DataFrame:
     """Corpus → deduped (doc_id, url, site, text, lemmas).
 
@@ -68,7 +86,8 @@ def prepare_docs(docs: DataFrame, use_html: bool = False) -> DataFrame:
 
     text_col = extract_text_udf(F.col("html")) if use_html else F.col("text")
     return (
-        docs.filter(~is_file_url(F.col("url")))
+        filter_valid_pages(docs)
+        .filter(~is_file_url(F.col("url")))
         .withColumn("url", canonical_url(F.col("url")))
         .dropDuplicates(["url"])
         .select(
@@ -119,7 +138,8 @@ def prepare_docs_counts(docs: DataFrame, use_html: bool = True) -> DataFrame:
 
     text_col = extract_text_udf(F.col("html")) if use_html else F.col("text")
     return (
-        docs.filter(~is_file_url(F.col("url")))
+        filter_valid_pages(docs)
+        .filter(~is_file_url(F.col("url")))
         .withColumn("url", canonical_url(F.col("url")))
         .select(
             F.xxhash64("url").alias("doc_id"),

@@ -201,6 +201,165 @@ def ann_lsh_topk(
     )
 
 
+# --- IVF (inverted-file) ANN -------------------------------------------------
+# The classic two-stage scale path: a coarse k-means quantizer
+# partitions the corpus into K cells; a query probes only its nprobe
+# nearest cells and scores exactly within them. Everything is engineered
+# for cross-engine determinism so the DuckDB oracle reproduces training
+# bit-for-bit:
+#   * vectors are quantized to e4 fixed-point BIGINTs first, so cluster
+#     sums are EXACT integer arithmetic (order-insensitive — the one
+#     float hazard in distributed k-means);
+#   * centroids are the exact rationals sum/count (one IEEE division);
+#   * distances fold sequentially over components in index order;
+#   * ties (equal distance) assign to the smallest centroid id;
+#   * empty clusters keep their previous centroid;
+#   * init = the K smallest vec_ids' quantized vectors, ITERS fixed.
+# At scale: train on a sample, broadcast the K·dim centroid literals,
+# assignment is a MAP-ONLY expression on the scan (no join, no
+# shuffle); the per-query probe joins only nprobe cells' vectors.
+
+IVF_K = 8
+IVF_ITERS = 2
+IVF_NPROBE = 2
+
+
+def _quantize_col(vec: Column) -> Column:
+    """array<float> → array<bigint> e4 fixed-point (floor(x·10⁴+0.5))."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 10000.0 + F.lit(0.5)).cast("long")
+    )
+
+
+def _sqdist_expr(qv: Column, centroid: list[float]) -> Column:
+    """Σ_j (qv_j − c_j)² as double — sequential fold, literal centroid."""
+    arr = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(
+            qv, arr,
+            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_expr(qv: Column, centroids: list[list[float]]):
+    """(assignment, distances): argmin over K literal centroids with
+    smallest-id tie-break — a pure map expression (the scale path)."""
+    dists = [_sqdist_expr(qv, c) for c in centroids]
+    mind = F.least(*dists)
+    assign = F.when(dists[0] == mind, F.lit(0))
+    for kk in range(1, len(centroids)):
+        assign = assign.when(dists[kk] == mind, F.lit(kk))
+    return assign.cast("int"), dists
+
+
+def _sqdist_py(qv: list[int], c: list[float]) -> float:
+    """Driver-side replica of _sqdist_expr (same fold order)."""
+    acc = 0.0
+    for j in range(len(qv)):
+        d = float(qv[j]) - c[j]
+        acc += d * d
+    return acc
+
+
+def ivf_train(
+    emb: DataFrame,
+    dim: int,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: k centroids after `iters` Lloyd
+    iterations over the e4-quantized vectors. Each iteration is one
+    groupBy over (assignment, component) whose output is K·dim integer
+    sums — tiny, collected to the driver, and turned into the next
+    round's literal centroids (broadcast-by-literal)."""
+    q = emb.select(
+        F.col(id_col).alias("vec_id"), _quantize_col(F.col(vec_col)).alias("qv")
+    )
+    init = q.orderBy("vec_id").limit(k).collect()
+    centroids = [[float(x) for x in r["qv"]] for r in init]
+    for _ in range(iters):
+        assign, _ = _assign_expr(F.col("qv"), centroids)
+        parts = (
+            q.select(assign.alias("c"), F.posexplode("qv").alias("j", "v"))
+            .groupBy("c", "j")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        cnts: dict[int, int] = {}
+        for r in parts:
+            sums.setdefault(r["c"], [0] * dim)[r["j"]] = r["s"]
+            cnts[r["c"]] = r["cnt"]
+        centroids = [
+            [s / cnts[kk] for s in sums[kk]] if kk in sums else centroids[kk]
+            for kk in range(k)
+        ]
+    return centroids
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 10,
+    n_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: exact cosine rank within the query's nprobe nearest
+    cells → (q_vec_id, vec_id, cos_e4, rank). Candidate set ≈
+    nprobe/n_cells of the corpus; same partial-top-k merge as the other
+    ANN paths (no corpus-sized shuffle anywhere)."""
+    centroids = ivf_train(emb, dim, k=n_cells, id_col=id_col, vec_col=vec_col)
+    assign, _ = _assign_expr(_quantize_col(F.col(vec_col)), centroids)
+    withc = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        assign.alias("cell"),
+    )
+    # nprobe nearest cells per query vector — driver-side on ≤|Q| rows
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("vec_id"), _quantize_col(F.col(vec_col)).alias("qv"))
+        .collect()
+    )
+    probe_pairs = []
+    for r in qrows:
+        qv = [int(x) for x in r["qv"]]
+        ranked = sorted(
+            ((_sqdist_py(qv, c), kk) for kk, c in enumerate(centroids))
+        )[:nprobe]
+        probe_pairs.extend((int(r["vec_id"]), kk) for _, kk in ranked)
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_pairs, "q_vec_id long, cell int")
+
+    q = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec"))
+    )
+    cand = (
+        withc.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "q_vec_id")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+    )
+    scored = cand.select(
+        "q_vec_id", "vec_id", cosine_col(F.col("q_vec"), F.col("vec")).alias("cos")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        _local_topk(scored, k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "vec_id", _e4(F.col("cos")).alias("cos_e4"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     dim: int,

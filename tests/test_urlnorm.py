@@ -59,3 +59,25 @@ def test_prepare_docs_dedups_canonical_variants(spark):
     out = prepare_docs(docs, use_html=True).select("url").collect()
     urls = sorted(r["url"] for r in out)
     assert urls == ["https://a.com/x", "https://a.com/y"]
+
+
+def test_filter_valid_pages_drops_redirects_and_empty(spark):
+    """F2 redirect drop (WebsiteMapper.java:55-57) + F5 valid-page
+    guard on a frame WITH a code column; code-less frames pass through
+    except null-content rows."""
+    from searchengine_spark.operators.postings import filter_valid_pages
+
+    rows = [
+        ("https://a.com/ok", 200, bytearray(b"<html>x</html>")),
+        ("https://a.com/redir", 302, bytearray(b"")),
+        ("https://a.com/err", 500, bytearray(b"<html>e</html>")),
+        ("https://a.com/null", 200, None),
+    ]
+    docs = spark.createDataFrame(rows, "url string, code int, html binary")
+    kept = sorted(r["url"] for r in filter_valid_pages(docs).collect())
+    assert kept == ["https://a.com/ok"]
+
+    # no code column: only the null-content row drops
+    docs2 = docs.drop("code")
+    kept2 = sorted(r["url"] for r in filter_valid_pages(docs2).collect())
+    assert kept2 == ["https://a.com/err", "https://a.com/ok", "https://a.com/redir"]
