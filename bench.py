@@ -113,7 +113,10 @@ def main() -> None:
         "q_doc_frequency",
         "q_dedup_minhash_lsh",
         "q_ann_cosine_topk",
+        "q_ann_ivf",
         "q_join_agg_revenue",
+        "q_search_snippets",
+        "q_clean_corpus",
     ):
         fn = contract.queries().get(name)
         if fn is None:

@@ -94,22 +94,29 @@ def current_postings(segments: DataFrame) -> DataFrame:
 
 
 def _doc_meta(spark: SparkSession, base: str) -> DataFrame:
-    """(doc_id, url, site) with doc-level last-wins across the base
-    doc_stats (run 0) and the per-delta meta appends
-    (idx/doc_meta_runs, written by write_delta_run)."""
+    """LIVE (doc_id, url, site): doc-level last-wins across the base
+    doc_stats (run 0) and the per-delta meta appends (idx/doc_meta_runs
+    — write_delta_run / write_tombstones). A doc whose winning meta row
+    is a tombstone (deleted=True) is excluded entirely: the refresh
+    drops its postings and its stats contribution."""
     meta = spark.read.parquet(f"{base}/idx/doc_stats").select(
-        "doc_id", "url", "site", F.lit(0).alias("mrun")
+        "doc_id", "url", "site", F.lit(0).alias("mrun"),
+        F.lit(False).alias("deleted"),
     )
     delta_path = f"{base}/idx/doc_meta_runs"
     try:
         deltas = spark.read.parquet(delta_path).select(
-            "doc_id", "url", "site", F.col("run_id").alias("mrun")
+            "doc_id", "url", "site", F.col("run_id").alias("mrun"), "deleted"
         )
         meta = meta.unionByName(deltas)
     except Exception:
         pass  # no deltas landed yet
     latest = meta.groupBy("doc_id").agg(F.max("mrun").alias("mrun"))
-    return meta.join(latest, ["doc_id", "mrun"]).select("doc_id", "url", "site")
+    return (
+        meta.join(latest, ["doc_id", "mrun"])
+        .filter(~F.col("deleted"))
+        .select("doc_id", "url", "site")
+    )
 
 
 def refresh_and_repack(
@@ -121,7 +128,13 @@ def refresh_and_repack(
     with the fresh (n_docs, avgdl, df). Returns (tables, segments)."""
     seg_path = f"{base}/segments"
     segments = spark.read.parquet(seg_path)
-    cur = current_postings(segments).cache()
+    live = _doc_meta(spark, base).cache()
+    # tombstoned docs drop out here: only live docs' postings survive
+    cur = (
+        current_postings(segments)
+        .join(live.select("doc_id"), "doc_id", "left_semi")
+        .cache()
+    )
 
     # exact re-aggregation (A2 + doclen + corpus constants)
     dl = cur.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doclen"))
@@ -129,7 +142,7 @@ def refresh_and_repack(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
     doc_stats = (
-        _doc_meta(spark, base)
+        live
         .join(dl, "doc_id", "left")
         .fillna(0, subset=["doclen"])
     )
@@ -172,6 +185,7 @@ def refresh_and_repack(
     )
     write_index(tables, tmp_idx)
     cur.unpersist()
+    live.unpersist()
 
     # atomic-ish swaps (rename); on object stores use a catalog pointer
     # or snapshot replace instead

@@ -245,8 +245,49 @@ def write_delta_run(
             "term_counts", F.lit(0), lambda acc, tc: acc + tc["tf"]
         ).cast("long").alias("doclen"),
         F.lit(run_id).cast("int").alias("run_id"),
+        F.lit(False).alias("deleted"),
     )
     meta.write.mode("append").parquet(f"{index_base}/idx/doc_meta_runs")
+
+
+def write_tombstones(
+    spark, doc_ids: list[int], index_base: str, run_id: int
+) -> int:
+    """Delete documents (reference analog: the reindex path's
+    delete-old-postings step, IndexingService.java:152, promoted to a
+    first-class operation — takedowns/opt-outs at corpus scale).
+
+    Appends tombstone meta rows (deleted=True) tagged with `run_id`;
+    doc-level last-wins makes the tombstone authoritative at the next
+    refresh_and_repack, which drops the docs' postings and meta and
+    re-aggregates stats exactly. Until then queries still see the doc
+    (documented staleness window, same as delta-run stats). A doc
+    re-landed by a LATER delta run supersedes its tombstone. Returns
+    the number of tombstones written (ids not in the index are
+    no-ops)."""
+    ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    meta = spark.read.parquet(f"{index_base}/idx/doc_stats").select(
+        "doc_id", "url", "site"
+    )
+    try:  # docs landed by un-refreshed deltas are deletable too
+        meta = meta.unionByName(
+            spark.read.parquet(f"{index_base}/idx/doc_meta_runs").select(
+                "doc_id", "url", "site"
+            )
+        )
+    except Exception:
+        pass
+    known = meta.dropDuplicates(["doc_id"]).join(F.broadcast(ids), "doc_id")
+    rows = known.select(
+        "doc_id", "url", "site",
+        F.lit(0).cast("long").alias("doclen"),
+        F.lit(run_id).cast("int").alias("run_id"),
+        F.lit(True).alias("deleted"),
+    )
+    n = rows.count()
+    if n:
+        rows.write.mode("append").parquet(f"{index_base}/idx/doc_meta_runs")
+    return n
 
 
 def merge_runs(segments: DataFrame, n_docs: int, avgdl: float, run_id: int = 0) -> DataFrame:

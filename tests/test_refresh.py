@@ -154,3 +154,49 @@ def test_doc_level_supersede_drops_removed_terms(spark, built):
         .collect()
     )
     assert all(r["dl"] == 2 for r in pl)
+
+
+def test_tombstone_delete_equals_cold_rebuild(spark, tmp_path):
+    """write_tombstones + refresh must equal a cold rebuild WITHOUT the
+    deleted docs — postings, stats, avgdl, and packed segments all drop
+    the docs' contribution exactly (the takedown/opt-out path)."""
+    from searchengine_spark.index.segments import write_tombstones
+
+    base_docs = corpus_df(spark, 80)
+    inc = str(tmp_path / "inc")
+    idx0 = build_index(base_docs, use_html=True)
+    write_index(idx0, f"{inc}/idx")
+    idx = read_index(spark, f"{inc}/idx")
+    n, avgdl = corpus_constants(idx.doc_stats)
+    write_segments(build_segments(idx, n, avgdl, n_shards=N_SHARDS),
+                   f"{inc}/segments")
+
+    vrows = idx.doc_stats.orderBy("doc_id").limit(10).collect()
+    victims = [r["doc_id"] for r in vrows]
+    victim_urls = [r["url"] for r in vrows]  # before the swap invalidates idx
+    assert write_tombstones(spark, victims, inc, run_id=1) == 10
+    # unknown ids are a no-op
+    assert write_tombstones(spark, [999999999], inc, run_id=2) == 0
+    r_idx, r_segs = refresh_and_repack(spark, inc)
+    assert r_idx.doc_stats.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert r_idx.postings.filter(F.col("doc_id").isin(victims)).count() == 0
+
+    cold_docs = base_docs.filter(~F.col("url").isin(victim_urls))
+    cold = str(tmp_path / "cold")
+    cidx0 = build_index(cold_docs, use_html=True)
+    write_index(cidx0, f"{cold}/idx")
+    cidx = read_index(spark, f"{cold}/idx")
+    cn, cavgdl = corpus_constants(cidx.doc_stats)
+    write_segments(build_segments(cidx, cn, cavgdl, n_shards=N_SHARDS),
+                   f"{cold}/segments")
+    c_segs = spark.read.parquet(f"{cold}/segments")
+
+    rows_r = {_seg_key(r): r for r in r_segs.collect()}
+    rows_c = {_seg_key(r): r for r in c_segs.collect()}
+    assert rows_r.keys() == rows_c.keys()
+    for k, rr in rows_r.items():
+        rc = rows_c[k]
+        for col in ("n_docs", "df", "doc_ids", "tfs", "doclens",
+                    "block_max_score"):
+            assert rr[col] == rc[col], (k, col)
+    assert corpus_constants(r_idx.doc_stats) == (cn, cavgdl)
