@@ -33,10 +33,13 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     args = ap.parse_args()
 
-    from searchengine_spark.index.refresh import refresh_and_repack
+    from searchengine_spark.index.refresh import recover, refresh_and_repack
     from searchengine_spark.session import get_spark
 
     spark = get_spark("compact")
+    action = recover(args.index)
+    if action != "clean":
+        print(f"recovered interrupted refresh: {action}")
     segments = spark.read.parquet(f"{args.index}/segments")
     n_runs = segments.select("run_id").distinct().count()
 

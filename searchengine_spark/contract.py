@@ -571,6 +571,75 @@ def q_rollup_source_lang(spark, sf_dir):
     )
 
 
+# -- CUBE: all grouping-set combinations (superset of ROLLUP) -----------------
+@_reg(
+    "q_cube_source_lang",
+    "SELECT source, lang, count(*)::BIGINT AS n,"
+    " sum(n_chars)::BIGINT AS total_chars"
+    " FROM documents GROUP BY CUBE (source, lang)",
+)
+def q_cube_source_lang(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# -- running window aggregate: cumulative per-user event value ----------------
+@_reg(
+    "q_running_total",
+    "SELECT user_id, event_id,"
+    " sum(floor(value * 100.0 + 0.5)::BIGINT) OVER ("
+    "   PARTITION BY user_id ORDER BY ts, event_id"
+    "   ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents,"
+    " lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    "   AS prev_event_id"
+    " FROM events",
+)
+def q_running_total(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_cents"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+# -- top-k per group (rank window below a partitioned ordering) ---------------
+@_reg(
+    "q_topk_per_group",
+    "SELECT event_type, event_id, value_cents, rnk FROM ("
+    " SELECT event_type, event_id,"
+    "  floor(value * 100.0 + 0.5)::BIGINT AS value_cents,"
+    "  row_number() OVER (PARTITION BY event_type"
+    "   ORDER BY value DESC, event_id ASC)::BIGINT AS rnk"
+    " FROM events) WHERE rnk <= 5",
+)
+def q_topk_per_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            .alias("value_cents"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
 # -- exact interpolated percentiles per group ---------------------------------
 @_reg(
     "q_value_percentiles",

@@ -120,12 +120,24 @@ def _doc_meta(spark: SparkSession, base: str) -> DataFrame:
 
 
 def refresh_and_repack(
-    spark: SparkSession, base: str, run_id: int = 0
+    spark: SparkSession,
+    base: str,
+    run_id: int = 0,
+    fail_before_swap: bool = False,
+    fail_mid_swap: bool = False,
 ) -> tuple[IndexTables, DataFrame]:
     """Re-aggregate exact stats from all runs and repack <base> in
     place: idx/{postings,term_stats,doc_stats} overwritten with the
     true current state, segments/ rewritten as a single run scored
-    with the fresh (n_docs, avgdl, df). Returns (tables, segments)."""
+    with the fresh (n_docs, avgdl, df). Returns (tables, segments).
+
+    Crash safety: both output trees are FULLY written to `.refreshing`
+    temp dirs before any rename happens, so every crash state is
+    recoverable by `recover(base)` — roll forward if the temps are
+    complete (any started swap implies they were), roll back (delete
+    temps) otherwise. `fail_before_swap` / `fail_mid_swap` inject
+    crashes at the two interesting points for the recovery tests."""
+    recover(base)  # settle any crashed previous refresh first
     seg_path = f"{base}/segments"
     segments = spark.read.parquet(seg_path)
     live = _doc_meta(spark, base).cache()
@@ -187,16 +199,85 @@ def refresh_and_repack(
     cur.unpersist()
     live.unpersist()
 
+    if fail_before_swap:
+        raise RuntimeError("injected crash before swap")
+
     # atomic-ish swaps (rename); on object stores use a catalog pointer
     # or snapshot replace instead
-    for path, fresh in ((seg_path, tmp), (idx_path, tmp_idx)):
-        old = f"{path}.old"
-        os.rename(path, old)
-        os.rename(fresh, path)
-        shutil.rmtree(old, ignore_errors=True)
+    for i, (path, fresh) in enumerate(((seg_path, tmp), (idx_path, tmp_idx))):
+        if fail_mid_swap and i == 1:
+            raise RuntimeError("injected crash between swaps")
+        _swap_in(path, fresh)
     # superseded delta meta is folded into doc_stats now
     shutil.rmtree(f"{base}/idx/doc_meta_runs", ignore_errors=True)
 
     from ..operators.postings import read_index
 
     return read_index(spark, idx_path), spark.read.parquet(seg_path)
+
+
+def _swap_in(path: str, fresh: str) -> None:
+    """old-aside rename swap; idempotent on re-entry (recover)."""
+    old = f"{path}.old"
+    if os.path.exists(fresh):
+        if os.path.exists(path):
+            if os.path.exists(old):  # leftover from an earlier crash
+                shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+        os.rename(fresh, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _tree_complete(path: str, subdirs: tuple[str, ...] = ()) -> bool:
+    """A parquet write is complete iff its _SUCCESS marker landed."""
+    if not os.path.isdir(path):
+        return False
+    roots = [os.path.join(path, s) for s in subdirs] if subdirs else [path]
+    return all(os.path.exists(os.path.join(r, "_SUCCESS")) for r in roots)
+
+
+def recover(base: str) -> str:
+    """Complete or undo an interrupted refresh_and_repack. Returns the
+    action taken: 'forward' (temps were complete — finish the swaps),
+    'rollback' (temps incomplete — delete them, keep the old state),
+    or 'clean' (nothing to do). Run before opening an index whose
+    maintenance job may have died."""
+    seg_path = f"{base}/segments"
+    idx_path = f"{base}/idx"
+    tmp_seg = f"{seg_path}.refreshing"
+    tmp_idx = f"{idx_path}.refreshing"
+    olds = [f"{seg_path}.old", f"{idx_path}.old"]
+    olds_exist = any(os.path.exists(o) for o in olds)
+    tmps_exist = os.path.exists(tmp_seg) or os.path.exists(tmp_idx)
+    if not tmps_exist and not olds_exist:
+        return "clean"
+    seg_ok = _tree_complete(tmp_seg)
+    idx_ok = _tree_complete(tmp_idx, ("postings", "term_stats", "doc_stats"))
+
+    def forward() -> str:
+        _swap_in(seg_path, tmp_seg)
+        _swap_in(idx_path, tmp_idx)
+        shutil.rmtree(f"{base}/idx/doc_meta_runs", ignore_errors=True)
+        return "forward"
+
+    # a swap only begins after BOTH temps are fully written, and the
+    # segments swap runs first; so:
+    if olds_exist or not os.path.exists(seg_path) or not os.path.exists(idx_path):
+        # crashed mid-rename — temps were complete by invariant
+        return forward()
+    if os.path.exists(tmp_seg):
+        if seg_ok and idx_ok:
+            return forward()  # crashed after both writes, before any swap
+        # a temp write itself died: discard, old state is untouched
+        shutil.rmtree(tmp_seg, ignore_errors=True)
+        shutil.rmtree(tmp_idx, ignore_errors=True)
+        return "rollback"
+    # tmp_seg gone but tmp_idx remains ⇒ the segments swap already
+    # happened (temps are written seg-first) — finish the idx swap
+    if idx_ok:
+        return forward()
+    raise RuntimeError(
+        f"unrecoverable refresh state at {base}: segments already "
+        f"swapped but {tmp_idx} is incomplete — restore from backup "
+        f"or re-run the refresh"
+    )

@@ -200,3 +200,89 @@ def test_tombstone_delete_equals_cold_rebuild(spark, tmp_path):
                     "block_max_score"):
             assert rr[col] == rc[col], (k, col)
     assert corpus_constants(r_idx.doc_stats) == (cn, cavgdl)
+
+
+def _mini_index(spark, path, n=60, delta=True):
+    """Small base + one delta run at `path`; returns (idx, n, avgdl)."""
+    docs = corpus_df(spark, n)
+    idx0 = build_index(docs, use_html=True)
+    write_index(idx0, f"{path}/idx")
+    idx = read_index(spark, f"{path}/idx")
+    nn, avgdl = corpus_constants(idx.doc_stats)
+    write_segments(build_segments(idx, nn, avgdl, n_shards=N_SHARDS),
+                   f"{path}/segments")
+    if delta:
+        d = (
+            docs.limit(2)
+            .withColumn("text", F.lit(NEWTERM))
+            .withColumn("html", F.encode(
+                F.concat(F.lit("<html><body>"), F.col("text"),
+                         F.lit("</body></html>")), "utf-8"))
+        )
+        write_delta_run(
+            spark, prepare_docs_counts(d, use_html=True), path,
+            idx.term_stats, n_docs=nn, avgdl=avgdl, n_shards=N_SHARDS,
+            run_id=1,
+        )
+    return idx, nn, avgdl
+
+
+def _seg_rows(spark, path):
+    return sorted(
+        (r["term"], r["shard"], bytes(r["doc_ids"]), bytes(r["tfs"]))
+        for r in spark.read.parquet(f"{path}/segments").collect()
+    )
+
+
+def test_recover_rolls_forward_after_pre_swap_crash(spark, tmp_path):
+    from searchengine_spark.index.refresh import recover
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _mini_index(spark, a)
+    _mini_index(spark, b)
+    refresh_and_repack(spark, a)  # clean reference result
+
+    with pytest.raises(RuntimeError, match="injected crash before swap"):
+        refresh_and_repack(spark, b, fail_before_swap=True)
+    assert recover(b) == "forward"
+    assert recover(b) == "clean"  # idempotent
+    assert _seg_rows(spark, a) == _seg_rows(spark, b)
+
+
+def test_recover_completes_mid_swap_crash(spark, tmp_path):
+    from searchengine_spark.index.refresh import recover
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _mini_index(spark, a)
+    _mini_index(spark, b)
+    refresh_and_repack(spark, a)
+
+    with pytest.raises(RuntimeError, match="injected crash between swaps"):
+        refresh_and_repack(spark, b, fail_mid_swap=True)
+    assert recover(b) == "forward"
+    assert _seg_rows(spark, a) == _seg_rows(spark, b)
+    # idx must be the refreshed one (run-1 doc meta folded in)
+    bidx = read_index(spark, f"{b}/idx")
+    aidx = read_index(spark, f"{a}/idx")
+    assert sorted(map(tuple, bidx.term_stats.collect())) == sorted(
+        map(tuple, aidx.term_stats.collect())
+    )
+
+
+def test_recover_rolls_back_incomplete_temps(spark, tmp_path):
+    import os
+    import shutil
+
+    from searchengine_spark.index.refresh import recover
+
+    b = str(tmp_path / "b")
+    _mini_index(spark, b)
+    before = _seg_rows(spark, b)
+    with pytest.raises(RuntimeError, match="injected crash before swap"):
+        refresh_and_repack(spark, b, fail_before_swap=True)
+    # simulate a temp write that died: strip the _SUCCESS marker
+    os.remove(f"{b}/segments.refreshing/_SUCCESS")
+    assert recover(b) == "rollback"
+    assert not os.path.exists(f"{b}/segments.refreshing")
+    assert not os.path.exists(f"{b}/idx.refreshing")
+    assert _seg_rows(spark, b) == before  # old state untouched
