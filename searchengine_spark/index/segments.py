@@ -186,18 +186,11 @@ def delta_segments(
     (n_docs, avgdl, term df) — the standard approximation for small
     deltas; index.refresh.refresh_and_repack re-aggregates exactly
     (idempotent, no ±1 mutation — SURVEY §3.3) and closes the window."""
-    postings = (
-        delta_prepared.select(
-            "doc_id", F.explode("term_counts").alias("tc")
-        )
-        .select("doc_id", F.col("tc.term").alias("term"),
-                F.col("tc.tf").alias("tf"))
-    )
+    from ..operators.postings import doclen_from_counts, explode_term_counts
+
+    postings = explode_term_counts(delta_prepared)
     doclen = delta_prepared.select(
-        "doc_id",
-        F.aggregate(
-            "term_counts", F.lit(0), lambda acc, tc: acc + tc["tf"]
-        ).cast("long").alias("doclen"),
+        "doc_id", doclen_from_counts(delta_prepared).alias("doclen")
     )
     enriched = (
         postings.join(doclen, "doc_id")
@@ -239,11 +232,11 @@ def write_delta_run(
         .partitionBy("shard")
         .parquet(f"{index_base}/segments")
     )
+    from ..operators.postings import doclen_from_counts
+
     meta = delta_prepared.select(
         "doc_id", "url", "site",
-        F.aggregate(
-            "term_counts", F.lit(0), lambda acc, tc: acc + tc["tf"]
-        ).cast("long").alias("doclen"),
+        doclen_from_counts(delta_prepared).alias("doclen"),
         F.lit(run_id).cast("int").alias("run_id"),
         F.lit(False).alias("deleted"),
     )

@@ -151,6 +151,27 @@ def prepare_docs_counts(docs: DataFrame, use_html: bool = True) -> DataFrame:
     )
 
 
+def explode_term_counts(prepared: DataFrame) -> DataFrame:
+    """(doc_id, term_counts struct<terms,tfs>) → (doc_id, term, tf)."""
+    return prepared.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip("term_counts.terms", "term_counts.tfs")
+        ).alias("tc"),
+    ).select(
+        "doc_id",
+        F.col("tc.terms").alias("term"),
+        F.col("tc.tfs").alias("tf"),
+    )
+
+
+def doclen_from_counts(prepared: DataFrame):
+    """Σ tf per doc as a Column expression over the term_counts struct."""
+    return F.aggregate(
+        F.col("term_counts.tfs"), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+
+
 def build_postings(prepared: DataFrame) -> DataFrame:
     """(doc_id, lemmas[]) → postings(term, doc_id, tf). A1."""
     return (
@@ -229,11 +250,7 @@ def materialize_index(
             term_counts_udf(F.col("text")).alias("term_counts"),
         )
     (
-        prepared.select(
-            "doc_id", F.explode("term_counts").alias("tc")
-        )
-        .select("doc_id", F.col("tc.term").alias("term"),
-                F.col("tc.tf").alias("tf"))
+        explode_term_counts(prepared)
         .repartition(F.col("term"), _salt_col())
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
