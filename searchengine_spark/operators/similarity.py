@@ -25,6 +25,7 @@ Norms ignore zero vectors (cosine undefined) — filtered out up front.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -215,9 +216,10 @@ def ann_lsh_topk(
 #   * ties (equal distance) assign to the smallest centroid id;
 #   * empty clusters keep their previous centroid;
 #   * init = the K smallest vec_ids' quantized vectors, ITERS fixed.
-# At scale: train on a sample, broadcast the K·dim centroid literals,
-# assignment is a MAP-ONLY expression on the scan (no join, no
-# shuffle); the per-query probe joins only nprobe cells' vectors.
+# At scale: train on a sample, ship the K·dim centroids in the task
+# closure, assignment is a MAP-ONLY Arrow/numpy kernel on the scan (no
+# join, no shuffle); the per-query probe joins only nprobe cells'
+# vectors.
 
 IVF_K = 8
 IVF_ITERS = 2
@@ -231,28 +233,43 @@ def _quantize_col(vec: Column) -> Column:
     )
 
 
-def _sqdist_expr(qv: Column, centroid: list[float]) -> Column:
-    """Σ_j (qv_j − c_j)² as double — sequential fold, literal centroid."""
-    arr = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(
-            qv, arr,
-            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _assign_udf(centroids: list[list[float]]):
+    """Cell assignment as an Arrow-batched numpy kernel: argmin of
+    squared distance over the closure-captured centroids, smallest-id
+    tie-break (np.argmin returns the first minimum). Map-only — no
+    join, no shuffle; the centroid table rides in the task closure
+    (the broadcast-small-side pattern).
 
+    Bit-for-bit identical to the oracle's list_reduce: the fold runs
+    SEQUENTIALLY over components (acc = acc + d·d per j, a left fold —
+    never np.sum, whose pairwise summation reassociates), and every
+    operand is the same IEEE double on both sides (quantized ints are
+    exact in float64; centroids are the exact rationals sum/count).
 
-def _assign_expr(qv: Column, centroids: list[list[float]]):
-    """(assignment, distances): argmin over K literal centroids with
-    smallest-id tie-break — a pure map expression (the scale path)."""
-    dists = [_sqdist_expr(qv, c) for c in centroids]
-    mind = F.least(*dists)
-    assign = F.when(dists[0] == mind, F.lit(0))
-    for kk in range(1, len(centroids)):
-        assign = assign.when(dists[kk] == mind, F.lit(kk))
-    return assign.cast("int"), dists
+    A native-expression formulation (zip_with+aggregate per centroid)
+    is semantically identical but runs INTERPRETED (higher-order
+    functions have no codegen) — measured ~9 s per Lloyd iteration at
+    10k×64 vs milliseconds here."""
+    C = [list(map(float, c)) for c in centroids]
+
+    @F.pandas_udf("int")
+    def assign(qv: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(qv):
+            return pd.Series([], dtype="int32")
+        M = np.array(qv.tolist(), dtype=np.float64)  # (n, dim)
+        n = M.shape[0]
+        dists = np.empty((n, len(C)), dtype=np.float64)
+        for k, c in enumerate(C):
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(len(c)):
+                d = M[:, j] - c[j]
+                acc = acc + d * d  # sequential left fold over j
+            dists[:, k] = acc
+        return pd.Series(np.argmin(dists, axis=1).astype("int32"))
+
+    return assign
 
 
 def _sqdist_py(qv: list[int], c: list[float]) -> float:
@@ -283,9 +300,10 @@ def ivf_train(
     init = q.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r["qv"]] for r in init]
     for _ in range(iters):
-        assign, _ = _assign_expr(F.col("qv"), centroids)
+        assign = _assign_udf(centroids)
         parts = (
-            q.select(assign.alias("c"), F.posexplode("qv").alias("j", "v"))
+            q.select(assign(F.col("qv")).alias("c"),
+                     F.posexplode("qv").alias("j", "v"))
             .groupBy("c", "j")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
             .collect()
@@ -317,11 +335,10 @@ def ann_ivf_topk(
     nprobe/n_cells of the corpus; same partial-top-k merge as the other
     ANN paths (no corpus-sized shuffle anywhere)."""
     centroids = ivf_train(emb, dim, k=n_cells, id_col=id_col, vec_col=vec_col)
-    assign, _ = _assign_expr(_quantize_col(F.col(vec_col)), centroids)
     withc = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        assign.alias("cell"),
+        _assign_udf(centroids)(_quantize_col(F.col(vec_col))).alias("cell"),
     )
     # nprobe nearest cells per query vector — driver-side on ≤|Q| rows
     qrows = (

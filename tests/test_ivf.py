@@ -25,15 +25,17 @@ def test_ivf_train_deterministic(spark):
 
 
 def test_ivf_assignment_is_map_only(spark):
-    """The scale path: assigning a vector to a cell must be a pure
-    column expression over broadcast-by-literal centroids — no join,
-    no shuffle in the assignment stage."""
+    """The scale path: assigning a vector to a cell must be a map-only
+    stage (Arrow-batched kernel, centroids in the task closure) — no
+    join, no shuffle."""
     emb = spark.read.parquet(EMB)
     centroids = similarity.ivf_train(emb, DIM)
-    assign, _ = similarity._assign_expr(
-        similarity._quantize_col(F.col("embedding")), centroids
+    cells = emb.select(
+        "vec_id",
+        similarity._assign_udf(centroids)(
+            similarity._quantize_col(F.col("embedding"))
+        ).alias("cell"),
     )
-    cells = emb.select("vec_id", assign.alias("cell"))
     plan = cells._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
