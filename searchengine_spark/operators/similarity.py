@@ -5,15 +5,20 @@ baseline, plus a random-hyperplane LSH bucketing as the scale path
 (bucket first, exact-score within bucket — the classic two-stage ANN).
 
 Scale notes (10^9+ vectors):
-  * cosine is a native `aggregate(zip_with(...))` fold — JVM-side,
-    whole-stage codegen, no Python;
+  * cosine scoring runs as Arrow-batched numpy kernels, NOT as
+    zip_with/aggregate column expressions: Spark's higher-order
+    functions have no whole-stage codegen (they evaluate interpreted,
+    ~10-100× slower than vectorized numpy). The kernels fold
+    SEQUENTIALLY over components (a j-loop of vectorized row ops,
+    never np.sum's pairwise reassociation), so every double — and the
+    DuckDB oracle — matches bit-for-bit;
   * brute force is queries × corpus: fine for a broadcast-able query
     set (Q ≤ thousands) since the corpus side never shuffles — each
-    partition scores its vectors against all Q and emits only its
-    local top-k via a same-stage mapInPandas reducer (_local_topk —
-    no exchange between the scoring projection and the reducer), so
-    the one shuffle that follows carries ≤ n_partitions·Q·k rows, not
-    |corpus|·Q; a tiny window then ranks the merged candidates;
+    partition scores its vectors against all Q (queries ride in the
+    task closure; the corpus×Q rows are never materialized) and emits
+    only its local top-k, so the one shuffle that follows carries
+    ≤ n_partitions·Q·k rows, not |corpus|·Q; a tiny window then ranks
+    the merged candidates;
   * LSH path cuts the scored candidates to one bucket per query
     (expected corpus/2^planes of the data): the bucket id is a
     partition-prunable join key at scale;
@@ -56,6 +61,9 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
+    """Native-expression cosine — kept as the executable specification
+    the Arrow kernels are checked against (tests/test_plan_shape.py);
+    NOT used in hot paths: higher-order functions run interpreted."""
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
@@ -77,41 +85,86 @@ def lsh_bucket_col(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
-def _local_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Per-partition partial top-k per q_vec_id — the ANN analog of the
-    map-side combine in TakeOrderedAndProject. Runs as mapInPandas in
-    the SAME stage as the scoring projection (no exchange before it),
-    so the downstream shuffle/window sees at most n_partitions·Q·k rows
-    instead of |corpus|·Q. The global top-k under the total order
-    (cos desc, vec_id asc) is a subset of the union of per-partition
-    top-ks under that order, so the final window result is identical to
-    ranking the full scored frame.
+def _np_seq_norm2(M):
+    """Σ_j M[:,j]² per row — sequential left fold over j (bit-identical
+    to the oracle's list_reduce; np.sum would reassociate)."""
+    import numpy as np
 
-    Input must have columns (q_vec_id, vec_id, cos); each Arrow batch
-    is truncated first so a partition never materializes more than
-    batch + Q·k rows in pandas."""
-    schema = scored.schema
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for j in range(M.shape[1]):
+        acc = acc + M[:, j] * M[:, j]
+    return acc
+
+
+def _np_seq_dot_vec(M, v):
+    """Σ_j v[j]·M[:,j] per row — sequential left fold; v[j]·e[j]
+    operand order matches _cos_sql(a=query, b=corpus)."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for j in range(M.shape[1]):
+        acc = acc + v[j] * M[:, j]
+    return acc
+
+
+def _np_seq_dot_rows(A, B):
+    """Σ_j A[:,j]·B[:,j] per row — sequential left fold."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+def _pd_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    return (
+        pdf.sort_values(["cos", "vec_id"], ascending=[False, True])
+        .groupby("q_vec_id", sort=False)
+        .head(k)
+    )
+
+
+_SCORED_SCHEMA = "q_vec_id long, vec_id long, cos double"
+
+
+def _score_pairs_topk(cand: DataFrame, k: int | None) -> DataFrame:
+    """(q_vec_id, vec_id, q_vec, vec) candidate pairs → per-partition
+    (q_vec_id, vec_id, cos), reduced to the local top-k per q when `k`
+    is given. Scoring + partial top-k fused in one Arrow kernel
+    (same-stage with the producing join — no exchange before it); with
+    k set, the downstream shuffle carries ≤ n_partitions·Q·k rows."""
 
     def run(batches):
-        import pandas as pd
-
-        def topk(pdf: pd.DataFrame) -> pd.DataFrame:
-            return (
-                pdf.sort_values(["cos", "vec_id"], ascending=[False, True])
-                .groupby("q_vec_id", sort=False)
-                .head(k)
-            )
+        import numpy as np
 
         acc = None
         for pdf in batches:
             if not len(pdf):
                 continue
-            part = topk(pdf)
-            acc = part if acc is None else topk(pd.concat([acc, part]))
+            A = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            cos = _np_seq_dot_rows(A, B) / (
+                np.sqrt(_np_seq_norm2(A)) * np.sqrt(_np_seq_norm2(B))
+            )
+            part = pd.DataFrame(
+                {
+                    "q_vec_id": pdf["q_vec_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cos": cos,
+                }
+            )
+            if k is None:
+                yield part
+                continue
+            part = _pd_topk(part, k)
+            acc = part if acc is None else _pd_topk(pd.concat([acc, part]), k)
         if acc is not None:
             yield acc
 
-    return scored.mapInPandas(run, schema=schema)
+    return cand.select("q_vec_id", "vec_id", "q_vec", "vec").mapInPandas(
+        run, schema=_SCORED_SCHEMA
+    )
 
 
 def ann_brute_topk(
@@ -123,26 +176,62 @@ def ann_brute_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector:
     (q_vec_id, vec_id, cos_sim, rank). Self-matches excluded; ties
-    broken by vec_id asc (deterministic). Scoring is native column
-    math; the only Python crossing is the bounded per-partition top-k
-    reducer (_local_topk)."""
-    q = (
+    broken by vec_id asc (deterministic).
+
+    One Arrow kernel per corpus partition scores its vectors against
+    all Q closure-held queries and emits only its local top-k — the
+    corpus never shuffles and the |corpus|·Q scored rows never
+    materialize; a tiny window ranks the ≤ n_partitions·Q·k merged
+    candidates."""
+    import math
+
+    import numpy as np
+
+    qrows = (
         emb.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec"))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
     )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("q_vec_id"))
-        .select(
-            "q_vec_id",
-            F.col(id_col).alias("vec_id"),
-            cosine_col(F.col("q_vec"), F.col(vec_col)).alias("cos"),
-        )
-    )
+    qlist = []
+    for r in qrows:
+        qv = np.array([float(x) for x in r["qv"]], dtype=np.float64)
+        nq = 0.0
+        for j in range(len(qv)):  # sequential fold, matches the oracle
+            nq = nq + float(qv[j]) * float(qv[j])
+        qlist.append((int(r["qid"]), qv, math.sqrt(nq)))
+
+    def run(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            sn = np.sqrt(_np_seq_norm2(M))
+            frames = []
+            for qid, qv, sq in qlist:
+                cos = _np_seq_dot_vec(M, qv) / (sq * sn)
+                mask = ids != qid
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_vec_id": qid,
+                            "vec_id": ids[mask],
+                            "cos": cos[mask],
+                        }
+                    )
+                )
+            part = _pd_topk(pd.concat(frames), k)
+            acc = part if acc is None else _pd_topk(pd.concat([acc, part]), k)
+        if acc is not None:
+            yield acc
+
+    local = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(run, schema=_SCORED_SCHEMA)
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        _local_topk(scored, k)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "vec_id", _e4(F.col("cos")).alias("cos_e4"), "rank")
     )
@@ -188,14 +277,9 @@ def ann_lsh_topk(
     cand = withb.join(
         F.broadcast(q), withb.bucket == q.q_bucket
     ).filter(F.col("vec_id") != F.col("q_vec_id"))
-    scored = cand.select(
-        "q_vec_id",
-        "vec_id",
-        cosine_col(F.col("q_vec"), F.col("vec")).alias("cos"),
-    )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        _local_topk(scored, k)
+        _score_pairs_topk(cand, k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "vec_id", _e4(F.col("cos")).alias("cos_e4"), "rank")
@@ -365,12 +449,9 @@ def ann_ivf_topk(
         .join(F.broadcast(q), "q_vec_id")
         .filter(F.col("vec_id") != F.col("q_vec_id"))
     )
-    scored = cand.select(
-        "q_vec_id", "vec_id", cosine_col(F.col("q_vec"), F.col("vec")).alias("cos")
-    )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        _local_topk(scored, k)
+        _score_pairs_topk(cand, k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "vec_id", _e4(F.col("cos")).alias("cos_e4"), "rank")
@@ -401,15 +482,25 @@ def embedding_neardup_pairs(
     b = withb.select(
         F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
     )
-    return (
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a",
-            "vec_b",
-            cosine_col(F.col("va"), F.col("vb")).alias("cos"),
+            F.col("vec_a").alias("q_vec_id"),
+            F.col("vec_b").alias("vec_id"),
+            F.col("va").alias("q_vec"),
+            F.col("vb").alias("vec"),
         )
-        .filter(F.col("cos") >= min_cos)
-        .select("vec_a", "vec_b", _e4(F.col("cos")).alias("cos_e4"))
+    )
+    # same fused Arrow scorer as the ANN paths; no top-k here — every
+    # pair over the threshold is a near-dup
+    scored = _score_pairs_topk(pairs, k=None)
+    return (
+        scored.filter(F.col("cos") >= min_cos)
+        .select(
+            F.col("q_vec_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            _e4(F.col("cos")).alias("cos_e4"),
+        )
         .distinct()
     )
