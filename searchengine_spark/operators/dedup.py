@@ -67,20 +67,53 @@ def exact_dedup_groups(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def _shingle_hash_set(text: str | None) -> set[int]:
+    """Distinct word-trigram shingle hashes of one doc — the Python
+    replica of shingles_col + h32 (md5 first 8 hex digits, mod P31),
+    value-identical to the SQL oracle and the column formulation."""
+    import hashlib
+
+    toks = [t for t in (text or "").split(" ") if t != ""]
+    if len(toks) >= SHINGLE_W:
+        shingles = (
+            " ".join(toks[i : i + SHINGLE_W])
+            for i in range(len(toks) - SHINGLE_W + 1)
+        )
+    else:
+        shingles = [text or ""]
+    return {
+        int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % P31
+        for s in shingles
+    }
+
+
 def minhash_signatures(docs: DataFrame, text: str = "text") -> DataFrame:
     """(doc_id, mh0..mh{15}): 16-permutation minhash of word-trigram
-    shingles. One explode + one groupBy — the groupBy keys on doc_id so
-    hot shingles never skew a reducer."""
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(F.col(text))).alias("shingle")
-    ).select("doc_id", (h32(F.col("shingle")) % P31).alias("h"))
-    aggs = []
-    for k in range(NUM_MINHASH):
-        a, b = minhash_params(k)
-        aggs.append(
-            F.min((F.col("h") * a + b) % P31).alias(f"mh{k}")
-        )
-    return sh.groupBy("doc_id").agg(*aggs)
+    shingles, computed per document in ONE Arrow kernel — a minhash is
+    a per-doc reduction, so it needs neither the shingle explode (the
+    column formulation's transform/md5 runs interpreted — no codegen
+    for higher-order functions — and was the dominant cost) nor any
+    shuffle: the stage is map-only on the scan."""
+    import pandas as pd
+
+    params = [minhash_params(k) for k in range(NUM_MINHASH)]
+    schema = "doc_id long, " + ", ".join(
+        f"mh{k} long" for k in range(NUM_MINHASH)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            cols = [[] for _ in params]
+            for t in pdf[text]:
+                hs = _shingle_hash_set(t)
+                for i, (a, b) in enumerate(params):
+                    cols[i].append(min((h * a + b) % P31 for h in hs))
+            for k in range(NUM_MINHASH):
+                out[f"mh{k}"] = cols[k]
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", text).mapInPandas(run, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -192,11 +225,24 @@ def ngram_jaccard_pairs(
     never broadcast). Only the hot-shingle df-cut frame is broadcast:
     it holds just shingles with df > max_df, bounded and tiny.
     """
-    sh = (
-        docs.select("doc_id", F.explode(shingles_col(F.col(text))).alias("shingle"))
-        .select("doc_id", (h32(F.col("shingle")) % P31).alias("h"))
-        .distinct()
-    )
+    import pandas as pd
+
+    def hashes(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "hs": [sorted(_shingle_hash_set(t)) for t in pdf[text]],
+                }
+            )
+
+    # per-doc DISTINCT shingle-hash sets in one Arrow kernel (see
+    # minhash_signatures for why not transform+md5 expressions), then
+    # explode rows for the inverted index — no .distinct() shuffle
+    # needed (the kernel already dedups within the doc)
+    sh = docs.select("doc_id", text).mapInPandas(
+        hashes, schema="doc_id long, hs array<long>"
+    ).select("doc_id", F.explode("hs").alias("h"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfc = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     sh = sh.join(F.broadcast(dfc.filter(F.col("df") > max_df)), "h", "left_anti")
