@@ -42,6 +42,12 @@ def main() -> None:
         print(f"recovered interrupted refresh: {action}")
     segments = spark.read.parquet(f"{args.index}/segments")
     n_runs = segments.select("run_id").distinct().count()
+    if n_runs <= 1 and not os.path.isdir(f"{args.index}/idx/doc_meta_runs"):
+        # single run and no pending delta meta: the index is already
+        # the exact compacted state — a full repack would rewrite
+        # everything for a byte-identical result
+        print(f"nothing to compact ({n_runs} run, no delta meta)")
+        return
 
     t0 = time.time()
     tables, compacted = refresh_and_repack(spark, args.index)

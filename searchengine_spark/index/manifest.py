@@ -83,8 +83,6 @@ def build_packed_resumable(
     groups already marked done in the manifest. Returns the segments
     DataFrame. `fail_after_group` injects a crash after that group's
     write for the kill/resume test."""
-    from .segments import INDEX_SEGMENTS_SCHEMA, _pack_group  # noqa: F401
-
     # Resume safety: shard/group mapping is part of the build identity.
     # If the manifest already has rows for this stage, the recorded
     # n_shards/n_groups are authoritative — a restart on a machine with

@@ -103,14 +103,15 @@ def _doc_meta(spark: SparkSession, base: str) -> DataFrame:
         "doc_id", "url", "site", F.lit(0).alias("mrun"),
         F.lit(False).alias("deleted"),
     )
+    # explicit existence check — a READ failure on an existing delta
+    # dir must propagate (swallowing it would silently drop every
+    # delta doc from the repack and then delete their meta for good)
     delta_path = f"{base}/idx/doc_meta_runs"
-    try:
+    if os.path.isdir(delta_path):
         deltas = spark.read.parquet(delta_path).select(
             "doc_id", "url", "site", F.col("run_id").alias("mrun"), "deleted"
         )
         meta = meta.unionByName(deltas)
-    except Exception:
-        pass  # no deltas landed yet
     latest = meta.groupBy("doc_id").agg(F.max("mrun").alias("mrun"))
     return (
         meta.join(latest, ["doc_id", "mrun"])
@@ -208,8 +209,9 @@ def refresh_and_repack(
         if fail_mid_swap and i == 1:
             raise RuntimeError("injected crash between swaps")
         _swap_in(path, fresh)
-    # superseded delta meta is folded into doc_stats now
-    shutil.rmtree(f"{base}/idx/doc_meta_runs", ignore_errors=True)
+    # (delta meta is gone with the old idx tree: the swap replaced it
+    # with the freshly written postings/term_stats/doc_stats — the new
+    # doc_stats IS the folded state)
 
     from ..operators.postings import read_index
 
@@ -257,7 +259,6 @@ def recover(base: str) -> str:
     def forward() -> str:
         _swap_in(seg_path, tmp_seg)
         _swap_in(idx_path, tmp_idx)
-        shutil.rmtree(f"{base}/idx/doc_meta_runs", ignore_errors=True)
         return "forward"
 
     # a swap only begins after BOTH temps are fully written, and the
@@ -268,9 +269,13 @@ def recover(base: str) -> str:
     if os.path.exists(tmp_seg):
         if seg_ok and idx_ok:
             return forward()  # crashed after both writes, before any swap
-        # a temp write itself died: discard, old state is untouched
-        shutil.rmtree(tmp_seg, ignore_errors=True)
+        # a temp write itself died: discard, old state is untouched.
+        # tmp_idx goes FIRST (reverse of write order) so a crash between
+        # the two rmtrees leaves tmp_seg-present/tmp_idx-absent — a
+        # state this branch handles again — never the seg-absent/
+        # idx-present shape the forward path would misread
         shutil.rmtree(tmp_idx, ignore_errors=True)
+        shutil.rmtree(tmp_seg, ignore_errors=True)
         return "rollback"
     # tmp_seg gone but tmp_idx remains ⇒ the segments swap already
     # happened (temps are written seg-first) — finish the idx swap

@@ -180,7 +180,7 @@ def delta_segments(
     packed segments tagged with a NEW run_id, appended alongside the
     base run. Query-time _TermList merges runs last-wins (upsert), so
     updated docs take effect without rewriting the base index;
-    merge_runs() compacts when runs accumulate.
+    index.refresh.refresh_and_repack compacts when runs accumulate.
 
     df/doclen statistics for the delta reuse the BASE corpus stats
     (n_docs, avgdl, term df) — the standard approximation for small
@@ -221,26 +221,34 @@ def write_delta_run(
     idx/doc_meta_runs — the breadcrumb refresh_and_repack needs to
     rebuild doc_stats exactly (url/site are not recoverable from
     packed postings). Both writes are appends; the run becomes visible
-    to queries via last-run-wins merge immediately."""
-    delta = delta_segments(
-        delta_prepared, term_stats, n_docs=n_docs, avgdl=avgdl,
-        n_shards=n_shards, run_id=run_id,
-    )
-    (
-        delta.repartition("shard")
-        .write.mode("append")
-        .partitionBy("shard")
-        .parquet(f"{index_base}/segments")
-    )
+    to queries via last-run-wins merge immediately.
+
+    `delta_prepared` is persisted across the two writes: its lineage
+    contains the extract/tokenize UDFs (the hottest Python path), which
+    would otherwise run a second time just to derive the meta doclens."""
     from ..operators.postings import doclen_from_counts
 
-    meta = delta_prepared.select(
-        "doc_id", "url", "site",
-        doclen_from_counts(delta_prepared).alias("doclen"),
-        F.lit(run_id).cast("int").alias("run_id"),
-        F.lit(False).alias("deleted"),
-    )
-    meta.write.mode("append").parquet(f"{index_base}/idx/doc_meta_runs")
+    delta_prepared = delta_prepared.persist()
+    try:
+        delta = delta_segments(
+            delta_prepared, term_stats, n_docs=n_docs, avgdl=avgdl,
+            n_shards=n_shards, run_id=run_id,
+        )
+        (
+            delta.repartition("shard")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(f"{index_base}/segments")
+        )
+        meta = delta_prepared.select(
+            "doc_id", "url", "site",
+            doclen_from_counts(delta_prepared).alias("doclen"),
+            F.lit(run_id).cast("int").alias("run_id"),
+            F.lit(False).alias("deleted"),
+        )
+        meta.write.mode("append").parquet(f"{index_base}/idx/doc_meta_runs")
+    finally:
+        delta_prepared.unpersist()
 
 
 def write_tombstones(
@@ -258,18 +266,20 @@ def write_tombstones(
     re-landed by a LATER delta run supersedes its tombstone. Returns
     the number of tombstones written (ids not in the index are
     no-ops)."""
+    import os
+
     ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
     meta = spark.read.parquet(f"{index_base}/idx/doc_stats").select(
         "doc_id", "url", "site"
     )
-    try:  # docs landed by un-refreshed deltas are deletable too
+    # docs landed by un-refreshed deltas are deletable too; explicit
+    # existence check — a read failure on an existing dir must
+    # propagate, not silently no-op the deletions
+    delta_path = f"{index_base}/idx/doc_meta_runs"
+    if os.path.isdir(delta_path):
         meta = meta.unionByName(
-            spark.read.parquet(f"{index_base}/idx/doc_meta_runs").select(
-                "doc_id", "url", "site"
-            )
+            spark.read.parquet(delta_path).select("doc_id", "url", "site")
         )
-    except Exception:
-        pass
     known = meta.dropDuplicates(["doc_id"]).join(F.broadcast(ids), "doc_id")
     rows = known.select(
         "doc_id", "url", "site",
@@ -286,7 +296,11 @@ def write_tombstones(
 def merge_runs(segments: DataFrame, n_docs: int, avgdl: float, run_id: int = 0) -> DataFrame:
     """Multi-pass sorted posting merge (north rule): k-way merge all
     runs of each (term, shard) into a single fresh run. Incremental
-    builds append runs with increasing run_id; compaction calls this.
+    builds append runs with increasing run_id. NOTE: compaction no
+    longer calls this — scripts/compact.py runs
+    index.refresh.refresh_and_repack (DOC-level supersede + exact
+    stats); this kernel remains the (term, shard)-level read-time
+    merge semantics only.
     Later runs win on duplicate doc_id (upsert semantics, I1)."""
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -199,6 +199,13 @@ def ann_brute_topk(
         for j in range(len(qv)):  # sequential fold, matches the oracle
             nq = nq + float(qv[j]) * float(qv[j])
         qlist.append((int(r["qid"]), qv, math.sqrt(nq)))
+    if not qlist:  # no query id exists in the corpus → empty result
+        from .search import empty_df
+
+        return empty_df(
+            emb.sparkSession,
+            "q_vec_id long, vec_id long, cos_e4 long, rank long",
+        )
 
     def run(batches):
         acc = None
@@ -382,7 +389,11 @@ def ivf_train(
         F.col(id_col).alias("vec_id"), _quantize_col(F.col(vec_col)).alias("qv")
     )
     init = q.orderBy("vec_id").limit(k).collect()
+    if not init:
+        raise ValueError("cannot train an IVF quantizer on an empty corpus")
+    # corpora smaller than k degrade to one cell per vector
     centroids = [[float(x) for x in r["qv"]] for r in init]
+    k = len(centroids)
     for _ in range(iters):
         assign = _assign_udf(centroids)
         parts = (

@@ -6,7 +6,8 @@ SURVEY §2.9 I1). At corpus scale that becomes a continuous ingestion
 pipeline: new crawl files land in the docs directory; each micro-batch
 runs the same extract→tokenize→pack kernels and appends a NEW segment
 run; queries merge runs last-wins (index.wand._TermList) and
-merge_runs() compacts periodically.
+index.refresh.refresh_and_repack compacts (and exactly
+re-aggregates statistics) periodically.
 
 Spark-first shape: `readStream` file source (exactly-once via the
 streaming checkpoint — a batch is never reprocessed after commit) →

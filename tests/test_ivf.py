@@ -64,3 +64,15 @@ def test_ivf_topk_consistent_with_brute(spark):
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
         assert len(ranks) <= 10
+
+
+def test_ann_edge_cases(spark):
+    """Guards: unknown query ids → empty frame (not a crash); corpora
+    smaller than IVF_K degrade to one cell per vector."""
+    emb = spark.read.parquet(EMB)
+    assert similarity.ann_brute_topk(emb, [10**12], k=5).count() == 0
+    small = emb.limit(5)
+    cents = similarity.ivf_train(small, DIM)
+    assert len(cents) == 5
+    out = similarity.ann_ivf_topk(small, [0], dim=DIM, k=3)
+    assert 0 < out.count() <= 3
