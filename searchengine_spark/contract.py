@@ -571,6 +571,31 @@ def q_rollup_source_lang(spark, sf_dir):
     )
 
 
+# -- set operators: INTERSECT / EXCEPT over doc-id sets -----------------------
+# (the reference has no table-level set ops — SURVEY §2.7; a general
+# analytics engine needs them, expressed here as the natural search
+# use-case: docs matching A and B but not C)
+@_reg(
+    "q_set_ops",
+    f"WITH {_SQL_TOK},"
+    " a AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'spark'),"
+    " b AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'join'),"
+    " c AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'stream')"
+    " SELECT doc_id FROM ("
+    "  SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b"
+    "  EXCEPT SELECT doc_id FROM c)",
+)
+def q_set_ops(spark, sf_dir):
+    tok = _tokens(_t(spark, sf_dir, "documents"))
+
+    def docs_with(term):
+        return tok.filter(F.col("term") == term).select("doc_id").distinct()
+
+    return (
+        docs_with("spark").intersect(docs_with("join")).subtract(docs_with("stream"))
+    )
+
+
 # -- CUBE: all grouping-set combinations (superset of ROLLUP) -----------------
 @_reg(
     "q_cube_source_lang",
