@@ -130,42 +130,52 @@ def minhash_lsh_pairs(
     quadratic blowup of degenerate buckets (see module docstring).
     """
     sig = minhash_signatures(docs, text)
-    mh = [F.col(f"mh{k}") for k in range(NUM_MINHASH)]
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[c.cast("string") for c in mh[b * LSH_ROWS : (b + 1) * LSH_ROWS]]
-                ).alias("key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    sigb = sig.select("doc_id", *[c for c in mh], F.explode(bands).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), *mh
-    )
+    # band key = the LSH_ROWS raw minhash INTS (band, k0..k3) — joining
+    # on integers beats building per-band concat strings, and the full
+    # signature rides as ONE array column instead of 16 scalar columns
+    # through the exchanges. Equality semantics are identical (both key
+    # forms are injective in the minhash tuple), so the pair set — and
+    # the string-keyed DuckDB oracle — are unchanged.
+    mhs = F.array(*[F.col(f"mh{k}") for k in range(NUM_MINHASH)])
+    parts = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"mh{b * LSH_ROWS + i}").alias(f"k{i}")
+                for i in range(LSH_ROWS)
+            ],
+        )
+        for b in range(LSH_BANDS)
+    ]
+    keys = ["band"] + [f"k{i}" for i in range(LSH_ROWS)]
+    sigb = sig.select(
+        "doc_id", mhs.alias("sig"), F.explode(F.array(*parts)).alias("bk")
+    ).select("doc_id", "sig", *[F.col(f"bk.{c}").alias(c) for c in keys])
     # df-cut degenerate buckets before the self-join
-    sizes = sigb.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+    sizes = sigb.groupBy(*keys).agg(F.count(F.lit(1)).alias("bsz"))
     sigb = sigb.join(
         F.broadcast(sizes.filter(F.col("bsz") > max_bucket)),
-        ["band", "key"],
+        keys,
         "left_anti",
     )
     left = sigb.select(
-        "band", "key", F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{k}").alias(f"la{k}") for k in range(NUM_MINHASH)],
+        *keys, F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
     )
     right = sigb.select(
-        "band", "key", F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{k}").alias(f"lb{k}") for k in range(NUM_MINHASH)],
+        *keys, F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
     )
-    eq = sum(
-        F.when(F.col(f"la{k}") == F.col(f"lb{k}"), 1).otherwise(0)
-        for k in range(NUM_MINHASH)
+    # equal-component count over the two signature arrays (≤ pair rows
+    # reach this — the interpreted fold is off the hot path)
+    eq = F.aggregate(
+        F.zip_with(
+            "sa", "sb",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
-        left.join(right, ["band", "key"])
+        left.join(right, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", eq.cast("long").alias("n_common"))
         .distinct()
