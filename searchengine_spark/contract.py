@@ -571,6 +571,51 @@ def q_rollup_source_lang(spark, sf_dir):
     )
 
 
+# -- as-of join: most recent strictly-prior event per key ---------------------
+# (operators/temporal.py — tagged-union + running-window merge; oracle
+# uses DuckDB's native ASOF LEFT JOIN, strict >)
+@_reg(
+    "q_asof_join",
+    "WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events"
+    "  WHERE event_type = 'click'),"
+    " y AS (SELECT user_id, epoch_us(ts) AS us,"
+    "  floor(value * 100.0 + 0.5)::BIGINT AS cents FROM events"
+    "  WHERE event_type = 'purchase')"
+    " SELECT x.user_id, x.event_id, y.cents AS prior_cents"
+    " FROM x ASOF LEFT JOIN y"
+    " ON x.user_id = y.user_id AND x.us > y.us",
+)
+def q_asof_join(spark, sf_dir):
+    from .operators.temporal import asof_join_events
+
+    return asof_join_events(_t(spark, sf_dir, "events"), "click", "purchase")
+
+
+# -- range join: right events within (t, t+5min] of each left event -----------
+# (operators/temporal.py — time-bin bucketed join; oracle is the plain
+# inequality join, exact integer microseconds)
+@_reg(
+    "q_range_join",
+    "WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events"
+    "  WHERE event_type = 'click'),"
+    " b AS (SELECT user_id, epoch_us(ts) AS b_us,"
+    "  floor(value * 100.0 + 0.5)::BIGINT AS cents FROM events"
+    "  WHERE event_type = 'view')"
+    " SELECT a.user_id, a.event_id,"
+    "  count(b.b_us)::BIGINT AS n_follow,"
+    "  coalesce(sum(b.cents), 0)::BIGINT AS follow_cents"
+    " FROM a LEFT JOIN b ON a.user_id = b.user_id"
+    "  AND b.b_us > a.us AND b.b_us <= a.us + 300000000"
+    " GROUP BY 1, 2",
+)
+def q_range_join(spark, sf_dir):
+    from .operators.temporal import range_join_counts
+
+    return range_join_counts(
+        _t(spark, sf_dir, "events"), "click", "view", window_s=300
+    )
+
+
 # -- set operators: INTERSECT / EXCEPT over doc-id sets -----------------------
 # (the reference has no table-level set ops — SURVEY §2.7; a general
 # analytics engine needs them, expressed here as the natural search
