@@ -571,6 +571,32 @@ def q_rollup_source_lang(spark, sf_dir):
     )
 
 
+# -- KMV distinct-count sketch (operators/sketches.py): the one
+#    cardinality sketch that is oracle-checkable — md5-derived hashes +
+#    integer estimator, bit-identical across engines ------------------------
+@_reg(
+    "q_kmv_distinct",
+    "WITH h AS (SELECT DISTINCT event_type AS grp,"
+    "  ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h FROM events),"
+    " r AS (SELECT grp, h,"
+    "  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),"
+    " g AS (SELECT grp, count(*)::BIGINT AS n_hashes,"
+    "  max(CASE WHEN rn = 64 THEN h END) AS kth_hash FROM r GROUP BY grp)"
+    " SELECT grp AS event_type, n_hashes, kth_hash,"
+    "  CASE WHEN kth_hash IS NOT NULL"
+    "   THEN floor(270582939648 / kth_hash)::BIGINT"
+    "   ELSE n_hashes END AS est_distinct"
+    " FROM g",
+)
+def q_kmv_distinct(spark, sf_dir):
+    from .operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "events"), key_col="user_id",
+        group_col="event_type", k=64,
+    )
+
+
 # -- as-of join: most recent strictly-prior event per key ---------------------
 # (operators/temporal.py — tagged-union + running-window merge; oracle
 # uses DuckDB's native ASOF LEFT JOIN, strict >)
