@@ -571,6 +571,36 @@ def q_rollup_source_lang(spark, sf_dir):
     )
 
 
+# -- hypertable-style multi-resolution time rollup: day + hour levels
+#    in ONE pass (GROUP BY ROLLUP over aligned truncations) — the batch
+#    form of a continuous aggregate; the streaming form is
+#    streaming/windows.py -----------------------------------------------------
+@_reg(
+    "q_time_rollup",
+    "SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,"
+    " count(*)::BIGINT AS n,"
+    " sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS value_cents"
+    " FROM events GROUP BY ROLLUP (day, hour)",
+)
+def q_time_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        # to_date, not date_trunc('day'): DuckDB's day-trunc yields a
+        # DATE — both engines must agree on the column type
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            cents.alias("cents"),
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+
+
 # -- KMV distinct-count sketch (operators/sketches.py): the one
 #    cardinality sketch that is oracle-checkable — md5-derived hashes +
 #    integer estimator, bit-identical across engines ------------------------
