@@ -22,6 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.hashing import h32_sql
+
 # the fixed reference query for documents-table retrieval checks
 QT = ["spark", "join", "stream"]
 QT_SQL = "('spark','join','stream')"
@@ -607,7 +609,8 @@ def q_time_rollup(spark, sf_dir):
 @_reg(
     "q_kmv_distinct",
     "WITH h AS (SELECT DISTINCT event_type AS grp,"
-    "  ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h FROM events),"
+    f"  {h32_sql('user_id::VARCHAR')} AS h"
+    "  FROM events WHERE user_id IS NOT NULL),"
     " r AS (SELECT grp, h,"
     "  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),"
     " g AS (SELECT grp, count(*)::BIGINT AS n_hashes,"
@@ -635,8 +638,8 @@ def q_kmv_distinct(spark, sf_dir):
     "WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events"
     "  WHERE event_type = 'click'),"
     " y AS (SELECT user_id, epoch_us(ts) AS us,"
-    "  floor(value * 100.0 + 0.5)::BIGINT AS cents FROM events"
-    "  WHERE event_type = 'purchase')"
+    "  max(floor(value * 100.0 + 0.5)::BIGINT) AS cents FROM events"
+    "  WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts))"
     " SELECT x.user_id, x.event_id, y.cents AS prior_cents"
     " FROM x ASOF LEFT JOIN y"
     " ON x.user_id = y.user_id AND x.us > y.us",

@@ -36,10 +36,15 @@ def kmv_distinct(
     """(group, n_hashes, kth_hash, est_distinct): KMV estimate of
     |distinct key| per group. Groups with fewer than k distinct keys
     report the EXACT count (est = n_hashes, the standard small-set
-    fallback); kth_hash is null there."""
-    h = h32(F.col(key_col).cast("string"))
+    fallback); kth_hash is null there. Null keys are excluded up front
+    (a null hashes to null, and the engines disagree on NULL ordering
+    inside the rank window — NULLS FIRST in Spark, LAST in DuckDB)."""
     hashes = (
-        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            h32(F.col(key_col).cast("string")).alias("h"),
+        )
         .distinct()
     )
     w = Window.partitionBy("grp").orderBy("h")

@@ -45,7 +45,11 @@ def asof_join_events(
 
     Tagged union + running last_value(ignorenulls) over
     (ts, tag)-ordered rows: left rows sort BEFORE right rows at equal
-    timestamps, so an equal-time right event is excluded (strict <)."""
+    timestamps, so an equal-time right event is excluded (strict <).
+    The right side is pre-aggregated to unique (user, ts) keys
+    (max cents on a tie) — with duplicate timestamps, 'the most recent
+    prior event' is otherwise ill-defined and every engine (this
+    window, DuckDB's ASOF JOIN) would pick its own arbitrary row."""
     x = events.filter(F.col("event_type") == left_type).select(
         "user_id",
         "event_id",
@@ -53,12 +57,18 @@ def asof_join_events(
         F.lit(None).cast("long").alias("y_cents"),
         F.lit(0).alias("tag"),
     )
-    y = events.filter(F.col("event_type") == right_type).select(
-        "user_id",
-        F.lit(None).cast("long").alias("event_id"),
-        _us().alias("us"),
-        _cents().alias("y_cents"),
-        F.lit(1).alias("tag"),
+    y = (
+        events.filter(F.col("event_type") == right_type)
+        .select("user_id", _us().alias("us"), _cents().alias("c"))
+        .groupBy("user_id", "us")
+        .agg(F.max("c").alias("y_cents"))
+        .select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            "us",
+            "y_cents",
+            F.lit(1).alias("tag"),
+        )
     )
     w = (
         Window.partitionBy("user_id")

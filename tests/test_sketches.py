@@ -32,3 +32,14 @@ def test_kmv_estimates_known_cardinalities(spark):
         for r in kmv_distinct(df, "key", "grp", k=64).collect()
     }
     assert again["big"] == big["est_distinct"]
+
+
+def test_kmv_ignores_null_keys(spark):
+    df = spark.range(100).select(
+        F.lit("g").alias("grp"), F.col("id").alias("key")
+    ).unionByName(
+        spark.sql("SELECT 'g' AS grp, CAST(NULL AS LONG) AS key")
+    )
+    row = kmv_distinct(df, "key", "grp", k=64).collect()[0]
+    # the null key contributes neither a hash nor a count
+    assert row["n_hashes"] == 100

@@ -67,3 +67,18 @@ def test_range_join_boundaries(spark):
         for r in range_join_counts(ev, "click", "view", window_s=300).collect()
     }
     assert got == {1: (2, 500), 6: (0, 0), 7: (1, 500)}
+
+
+def test_asof_tied_right_timestamps_deterministic(spark):
+    """Duplicate right-side (user, ts): the max-cents pre-aggregation
+    makes 'the most recent prior' well-defined on both engines."""
+    ev = _events(
+        spark,
+        [
+            (1, 7, "purchase", 10, 1.00),
+            (2, 7, "purchase", 10, 9.00),  # tied ts → max wins
+            (3, 7, "click", 20, 0.0),
+        ],
+    )
+    got = asof_join_events(ev, "click", "purchase").collect()
+    assert got[0]["prior_cents"] == 900
