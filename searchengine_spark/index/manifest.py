@@ -46,10 +46,21 @@ def manifest_path(base: str) -> str:
 
 
 def read_manifest(spark: SparkSession, base: str) -> DataFrame:
-    try:
-        return spark.read.parquet(manifest_path(base))
-    except Exception:
+    """Empty frame when no manifest exists yet — including a dir a
+    killed build created but never landed a parquet file in (a crash
+    artifact, equivalent to no manifest). A READ failure on an
+    existing non-empty manifest PROPAGATES — swallowing it would
+    bypass the shard-mapping guard below and let a resume silently mix
+    two shard mappings in one index (the corruption the guard
+    prevents)."""
+    import os
+
+    path = manifest_path(base)
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
         return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return spark.read.parquet(path)
 
 
 def completed_groups(spark: SparkSession, base: str, stage: str) -> set[int]:
@@ -75,7 +86,7 @@ def build_packed_resumable(
     n_docs: int,
     avgdl: float,
     n_shards: int | None = None,
-    n_groups: int = 8,
+    n_groups: int | None = None,
     run_id: int = 0,
     fail_after_group: int | None = None,
 ) -> DataFrame:
@@ -112,7 +123,9 @@ def build_packed_resumable(
                 f"{rec_shards} — resume with the recorded value or "
                 f"rebuild from scratch"
             )
-        if n_groups != rec_groups:
+        if n_groups is None:
+            n_groups = rec_groups
+        elif n_groups != rec_groups:
             raise ValueError(
                 f"n_groups={n_groups} conflicts with the manifest's "
                 f"{rec_groups} — resume with the recorded value or "
@@ -122,6 +135,8 @@ def build_packed_resumable(
         n_shards = n_shards_for(
             n_docs, min_parallelism=spark.sparkContext.defaultParallelism
         )
+    if n_groups is None:
+        n_groups = 8
     done = completed_groups(spark, base, "pack_segments")
 
     # shard derives from doc_id alone — computed BEFORE the joins so the

@@ -54,6 +54,37 @@ UNPACKED_SCHEMA = (
 )
 
 
+def _doc_meta_resolved(spark: SparkSession, base: str) -> DataFrame:
+    """(doc_id, url, site, mrun, deleted): doc-level last-wins meta
+    resolution across base doc_stats (run 0) and idx/doc_meta_runs.
+    Ties at the same run resolve deleted-wins; duplicate meta rows
+    (at-least-once replay of a delta batch) collapse here too."""
+    meta = spark.read.parquet(f"{base}/idx/doc_stats").select(
+        "doc_id", "url", "site", F.lit(0).alias("mrun"),
+        F.lit(False).alias("deleted"),
+    )
+    # explicit existence check — a READ failure on an existing delta
+    # dir must propagate (swallowing it would silently drop every
+    # delta doc from the repack and then delete their meta for good)
+    delta_path = f"{base}/idx/doc_meta_runs"
+    if os.path.isdir(delta_path):
+        deltas = spark.read.parquet(delta_path).select(
+            "doc_id", "url", "site", F.col("run_id").alias("mrun"), "deleted"
+        )
+        meta = meta.unionByName(deltas)
+    latest = meta.groupBy("doc_id").agg(F.max("mrun").alias("mrun"))
+    return (
+        meta.join(latest, ["doc_id", "mrun"])
+        .groupBy("doc_id", "mrun")
+        .agg(
+            F.max("deleted").alias("deleted"),  # tombstone wins a tie
+            F.min("url").alias("url"),  # identical per doc; min = determinism
+            F.min("site").alias("site"),
+        )
+        .select("doc_id", "url", "site", "mrun", "deleted")
+    )
+
+
 def unpack_postings(segments: DataFrame) -> DataFrame:
     """Packed runs → relational (term, shard, doc_id, tf, doclen,
     run_id). Pure map over segment rows (no grouping, no shuffle)."""
@@ -82,42 +113,27 @@ def unpack_postings(segments: DataFrame) -> DataFrame:
     return segments.select(*cols).mapInPandas(run, schema=UNPACKED_SCHEMA)
 
 
-def current_postings(segments: DataFrame) -> DataFrame:
+def current_postings(segments: DataFrame, live: DataFrame) -> DataFrame:
     """Doc-level last-run-wins view of the stored runs: every posting
-    of a document's LATEST run, nothing from older runs (supersede,
-    not per-term merge)."""
-    unpacked = unpack_postings(segments)
-    keep = unpacked.groupBy("doc_id").agg(F.max("run_id").alias("keep_run"))
+    of a document's authoritative run per the META resolution (`live` =
+    _doc_meta_resolved output filtered to living docs), nothing else.
+
+    Keying the supersede on the meta run — not max(run_id) over the
+    postings — matters twice: a doc re-landed with ZERO indexable terms
+    has a meta row but no postings (its old postings must drop, not
+    win), and segment runs orphaned by a crash between the segments
+    append and the meta append are inert until their meta lands (no
+    data loss window). Exact duplicates of a (term, shard, doc, run)
+    posting — at-least-once replay of a delta batch — collapse in the
+    dropDuplicates (replayed rows are value-identical by construction,
+    the batch content is deterministic)."""
+    unpacked = unpack_postings(segments).dropDuplicates(
+        ["term", "shard", "doc_id", "run_id"]
+    )
+    keep = live.select("doc_id", F.col("mrun").alias("keep_run"))
     return unpacked.join(keep, "doc_id").filter(
         F.col("run_id") == F.col("keep_run")
     ).drop("keep_run")
-
-
-def _doc_meta(spark: SparkSession, base: str) -> DataFrame:
-    """LIVE (doc_id, url, site): doc-level last-wins across the base
-    doc_stats (run 0) and the per-delta meta appends (idx/doc_meta_runs
-    — write_delta_run / write_tombstones). A doc whose winning meta row
-    is a tombstone (deleted=True) is excluded entirely: the refresh
-    drops its postings and its stats contribution."""
-    meta = spark.read.parquet(f"{base}/idx/doc_stats").select(
-        "doc_id", "url", "site", F.lit(0).alias("mrun"),
-        F.lit(False).alias("deleted"),
-    )
-    # explicit existence check — a READ failure on an existing delta
-    # dir must propagate (swallowing it would silently drop every
-    # delta doc from the repack and then delete their meta for good)
-    delta_path = f"{base}/idx/doc_meta_runs"
-    if os.path.isdir(delta_path):
-        deltas = spark.read.parquet(delta_path).select(
-            "doc_id", "url", "site", F.col("run_id").alias("mrun"), "deleted"
-        )
-        meta = meta.unionByName(deltas)
-    latest = meta.groupBy("doc_id").agg(F.max("mrun").alias("mrun"))
-    return (
-        meta.join(latest, ["doc_id", "mrun"])
-        .filter(~F.col("deleted"))
-        .select("doc_id", "url", "site")
-    )
 
 
 def refresh_and_repack(
@@ -141,13 +157,12 @@ def refresh_and_repack(
     recover(base)  # settle any crashed previous refresh first
     seg_path = f"{base}/segments"
     segments = spark.read.parquet(seg_path)
-    live = _doc_meta(spark, base).cache()
-    # tombstoned docs drop out here: only live docs' postings survive
-    cur = (
-        current_postings(segments)
-        .join(live.select("doc_id"), "doc_id", "left_semi")
-        .cache()
+    live = (
+        _doc_meta_resolved(spark, base).filter(~F.col("deleted")).cache()
     )
+    # tombstoned docs drop out here (absent from `live`); postings keep
+    # only each doc's meta-authoritative run (see current_postings)
+    cur = current_postings(segments, live).cache()
 
     # exact re-aggregation (A2 + doclen + corpus constants)
     dl = cur.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doclen"))

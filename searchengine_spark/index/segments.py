@@ -225,7 +225,14 @@ def write_delta_run(
 
     `delta_prepared` is persisted across the two writes: its lineage
     contains the extract/tokenize UDFs (the hottest Python path), which
-    would otherwise run a second time just to derive the meta doclens."""
+    would otherwise run a second time just to derive the meta doclens.
+
+    Crash/replay safety: segments are appended FIRST - a crash before
+    the meta append leaves orphan segment rows that are inert (the
+    refresh supersede is keyed on the META run, not the postings), and
+    an at-least-once replay re-appends value-identical rows that every
+    consumer dedups (index.refresh.current_postings /
+    _doc_meta_resolved; the read-time merge)."""
     from ..operators.postings import doclen_from_counts
 
     delta_prepared = delta_prepared.persist()
@@ -263,9 +270,11 @@ def write_tombstones(
     refresh_and_repack, which drops the docs' postings and meta and
     re-aggregates stats exactly. Until then queries still see the doc
     (documented staleness window, same as delta-run stats). A doc
-    re-landed by a LATER delta run supersedes its tombstone. Returns
-    the number of tombstones written (ids not in the index are
-    no-ops)."""
+    re-landed by a LATER delta run supersedes its tombstone; a
+    tombstone TIED with a live run wins (deleted-wins tie-break in the
+    meta resolution), so passing run_id >= the doc's latest run always
+    deletes. Returns the number of tombstones written (ids not in the
+    index are no-ops)."""
     import os
 
     ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
@@ -286,10 +295,15 @@ def write_tombstones(
         F.lit(0).cast("long").alias("doclen"),
         F.lit(run_id).cast("int").alias("run_id"),
         F.lit(True).alias("deleted"),
-    )
-    n = rows.count()
-    if n:
-        rows.write.mode("append").parquet(f"{index_base}/idx/doc_meta_runs")
+    ).persist()  # count + write = two actions; one metadata scan
+    try:
+        n = rows.count()
+        if n:
+            rows.write.mode("append").parquet(
+                f"{index_base}/idx/doc_meta_runs"
+            )
+    finally:
+        rows.unpersist()
     return n
 
 
@@ -304,8 +318,9 @@ def merge_runs(segments: DataFrame, n_docs: int, avgdl: float, run_id: int = 0) 
     Later runs win on duplicate doc_id (upsert semantics, I1)."""
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("run_id")
         parts = []
-        for _, row in pdf.sort_values("run_id").iterrows():
+        for _, row in pdf.iterrows():
             ids, tfs, dls = unpack_segment(row)
             parts.append(
                 pd.DataFrame(
@@ -320,7 +335,10 @@ def merge_runs(segments: DataFrame, n_docs: int, avgdl: float, run_id: int = 0) 
         )
         allp["term"] = pdf["term"].iloc[0]
         allp["shard"] = pdf["shard"].iloc[0]
-        allp["df"] = pdf["df"].iloc[0]
+        # df from the HIGHEST run deterministically (after sort) - an
+        # arbitrary row could pick a delta run's fillna(1) placeholder
+        # over the base-exact df and change block-max scores run-to-run
+        allp["df"] = pdf["df"].iloc[-1]
         return _pack_group(allp, n_docs, avgdl, run_id)
 
     return segments.groupBy("term", "shard").applyInPandas(

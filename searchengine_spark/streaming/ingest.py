@@ -25,6 +25,7 @@ the batch_id IS the run_id, giving an auditable run ledger.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..index.segments import write_delta_run
 from ..operators.postings import prepare_docs_counts
@@ -48,10 +49,39 @@ def start_incremental_indexer(
     Returns the StreamingQuery. `available_now=True` processes all
     currently-available files then stops (the batch-refresh mode);
     False runs continuously.
+
+    Delivery semantics: foreachBatch is AT-LEAST-ONCE — a batch whose
+    writes landed but whose checkpoint commit did not will replay on
+    restart, appending value-identical duplicate rows under the same
+    run_id. Every consumer tolerates that: the read-time merge dedups
+    equal doc_ids, and refresh_and_repack drops exact duplicate
+    postings/meta rows before re-aggregating (see
+    index.refresh.current_postings / _doc_meta_resolved).
     """
-    term_stats = spark.read.parquet(f"{index_base}/idx/term_stats")
+    # shard mapping is part of the index identity: refuse to append
+    # runs under a different modulus than the build recorded (a doc's
+    # postings must stay in one shard for conjunctive WAND)
+    from ..index.manifest import read_manifest
+
+    recorded = (
+        read_manifest(spark, index_base)
+        .filter(F.col("stage") == "pack_segments")
+        .select("n_shards")
+        .distinct()
+        .collect()
+    )
+    if recorded and int(recorded[0]["n_shards"]) != n_shards:
+        raise ValueError(
+            f"n_shards={n_shards} conflicts with the index's recorded "
+            f"{int(recorded[0]['n_shards'])} — appending runs under a "
+            f"different shard mapping would corrupt conjunctive search"
+        )
 
     def process_batch(batch_df, batch_id: int) -> None:
+        # re-read term_stats EVERY batch: a refresh_and_repack swap
+        # replaces the idx directory, and a plan captured at stream
+        # start would keep a stale (soon deleted) file listing
+        term_stats = spark.read.parquet(f"{index_base}/idx/term_stats")
         prepared = prepare_docs_counts(batch_df, use_html=use_html)
         # run_id = base + batch_id + 1 is strictly increasing (the
         # streaming batch counter is checkpointed and monotonic) and

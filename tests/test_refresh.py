@@ -286,3 +286,90 @@ def test_recover_rolls_back_incomplete_temps(spark, tmp_path):
     assert not os.path.exists(f"{b}/segments.refreshing")
     assert not os.path.exists(f"{b}/idx.refreshing")
     assert _seg_rows(spark, b) == before  # old state untouched
+
+
+def test_zero_postings_reland_drops_old_postings(spark, tmp_path):
+    """A doc re-landed with EMPTY text has a meta row but no postings —
+    its OLD postings must drop at refresh (meta-keyed supersede), and
+    the result must equal a cold rebuild with the empty doc."""
+    base_docs = corpus_df(spark, 60)
+    inc = str(tmp_path / "inc")
+    idx0 = build_index(base_docs, use_html=True)
+    write_index(idx0, f"{inc}/idx")
+    idx = read_index(spark, f"{inc}/idx")
+    n, avgdl = corpus_constants(idx.doc_stats)
+    write_segments(build_segments(idx, n, avgdl, n_shards=N_SHARDS),
+                   f"{inc}/segments")
+    emptied = (
+        base_docs.orderBy("url").limit(2)
+        .withColumn("text", F.lit(""))
+        .withColumn("html", F.encode(F.lit("<html><body></body></html>"),
+                                     "utf-8"))
+    )
+    write_delta_run(
+        spark, prepare_docs_counts(emptied, use_html=True), inc,
+        idx.term_stats, n_docs=n, avgdl=avgdl, n_shards=N_SHARDS, run_id=1,
+    )
+    r_idx, r_segs = refresh_and_repack(spark, inc)
+    emptied_ids = {
+        r["doc_id"]
+        for r in prepare_docs_counts(emptied, use_html=True)
+        .select("doc_id").collect()
+    }
+    assert r_idx.postings.filter(
+        F.col("doc_id").isin(list(emptied_ids))
+    ).count() == 0
+    stats = {
+        r["doc_id"]: r["doclen"]
+        for r in r_idx.doc_stats.filter(
+            F.col("doc_id").isin(list(emptied_ids))
+        ).collect()
+    }
+    assert set(stats) == emptied_ids and all(v == 0 for v in stats.values())
+
+    # cold rebuild: same corpus state (2 docs now empty)
+    cold_corpus = base_docs.join(
+        emptied.select("url"), "url", "left_anti"
+    ).unionByName(emptied)
+    cold = str(tmp_path / "cold")
+    cidx0 = build_index(cold_corpus, use_html=True)
+    write_index(cidx0, f"{cold}/idx")
+    cidx = read_index(spark, f"{cold}/idx")
+    cn, cavgdl = corpus_constants(cidx.doc_stats)
+    assert corpus_constants(r_idx.doc_stats) == (cn, cavgdl)
+    write_segments(build_segments(cidx, cn, cavgdl, n_shards=N_SHARDS),
+                   f"{cold}/segments")
+    rows_r = {_seg_key(r): (bytes(r["doc_ids"]), bytes(r["tfs"]), r["df"])
+              for r in r_segs.collect()}
+    rows_c = {_seg_key(r): (bytes(r["doc_ids"]), bytes(r["tfs"]), r["df"])
+              for r in spark.read.parquet(f"{cold}/segments").collect()}
+    assert rows_r == rows_c
+
+
+def test_tombstone_tied_run_id_still_deletes(spark, tmp_path):
+    """deleted-wins tie-break: a tombstone carrying the SAME run_id as
+    the doc's latest delta run must still delete it at refresh."""
+    from searchengine_spark.index.segments import write_tombstones
+
+    base_docs = corpus_df(spark, 40)
+    inc = str(tmp_path / "inc")
+    idx0 = build_index(base_docs, use_html=True)
+    write_index(idx0, f"{inc}/idx")
+    idx = read_index(spark, f"{inc}/idx")
+    n, avgdl = corpus_constants(idx.doc_stats)
+    write_segments(build_segments(idx, n, avgdl, n_shards=N_SHARDS),
+                   f"{inc}/segments")
+    updated = base_docs.orderBy("url").limit(1).withColumn(
+        "text", F.lit(NEWTERM)
+    ).withColumn("html", F.encode(
+        F.concat(F.lit("<html><body>"), F.col("text"),
+                 F.lit("</body></html>")), "utf-8"))
+    prepared = prepare_docs_counts(updated, use_html=True)
+    write_delta_run(spark, prepared, inc, idx.term_stats, n_docs=n,
+                    avgdl=avgdl, n_shards=N_SHARDS, run_id=1)
+    victim = prepared.select("doc_id").collect()[0]["doc_id"]
+    # tombstone at the SAME run id as the delta
+    assert write_tombstones(spark, [victim], inc, run_id=1) == 1
+    r_idx, _ = refresh_and_repack(spark, inc)
+    assert r_idx.doc_stats.filter(F.col("doc_id") == victim).count() == 0
+    assert r_idx.postings.filter(F.col("doc_id") == victim).count() == 0
