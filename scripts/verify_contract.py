@@ -42,6 +42,8 @@ def _canon(rows, cols):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict to these query names")
     args = ap.parse_args()
 
     import duckdb
@@ -57,6 +59,8 @@ def main() -> None:
         )
 
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if args.only:
+        queries = {n: q for n, q in queries.items() if n in args.only}
     bad = []
     for name in sorted(queries):
         sdf = queries[name](spark, args.sf_dir)

@@ -347,11 +347,23 @@ def q_topk_rank(spark, sf_dir):
         .agg(F.sum("tf").alias("total_tf"), F.count(F.lit(1)).alias("k"))
         .filter(F.col("k") == len(QT))
     )
-    w = Window.orderBy(F.desc("total_tf"), F.asc("doc_id"))
-    return (
-        m.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "total_tf", "rank")
+    # top-20 via orderBy().limit() → TakeOrderedAndProject (distributed
+    # heap), rank assigned driver-side over the 20 collected rows — a
+    # global row_number() window would funnel the WHOLE match set
+    # through one reducer (single-partition WindowExec), which
+    # serializes on a popular query at corpus scale
+    top = (
+        m.orderBy(F.desc("total_tf"), F.asc("doc_id")).limit(20).collect()
+    )
+    rows = [
+        (int(r["doc_id"]), int(r["total_tf"]), i + 1)
+        for i, r in enumerate(top)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, total_tf long, rank long"
+    ) if rows else spark.sql(
+        "SELECT CAST(NULL AS LONG) doc_id, CAST(NULL AS LONG) total_tf,"
+        " CAST(NULL AS LONG) rank WHERE 1=0"
     )
 
 

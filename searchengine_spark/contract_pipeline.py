@@ -205,6 +205,81 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+# --- flagship composite: clean training corpus ------------------------------
+# exact dedup (keep min doc_id per md5) → minhash-LSH near-dedup (drop
+# the higher doc_id of every candidate pair) → quality + language gate.
+# The end-to-end materialization a 100 TB pretraining pipeline runs;
+# every stage is individually oracle-verified in this module, and the
+# composite is verified as a whole here. Registered right after the
+# dedup family (not last): round 2's correctness harness stopped after
+# 50 registry entries and never recorded the then-51st (this) entry.
+
+_STOP_IN = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)
+
+_SQL_CLEAN = f"""
+WITH {_SQL_SHINGLES}, {_SQL_MINHASH},
+bands AS ({_BAND_SELECTS}),
+bsz AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+bok AS (SELECT bands.* FROM bands JOIN bsz USING (band, key) WHERE bsz.n <= 1000),
+near_drop AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id AND ({_NCOMMON}) >= 8
+),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+q AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n,
+         len(list_distinct(ts))::BIGINT AS uniq,
+         len(list_filter(ts, t -> t IN ({_STOP_IN})))::BIGINT AS stops
+  FROM tl WHERE len(ts) > 0
+),
+quality AS (
+  SELECT doc_id,
+         floor((0.4 * least(1.0, n / 100.0)
+                + 0.3 * (uniq / n)
+                + 0.3 * (1.0 - stops / n)) * 10000.0 + 0.5)::BIGINT AS q_e4
+  FROM q
+)
+SELECT d.doc_id, quality.q_e4 AS quality_e4
+FROM documents d
+JOIN exact_keep USING (doc_id)
+JOIN quality USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+  AND quality.q_e4 >= 5000
+  AND d.lang = 'en'
+"""
+
+
+@_reg("q_clean_corpus", _SQL_CLEAN)
+def q_clean_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    exact_keep = dedup.exact_dedup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    near_drop = (
+        dedup.minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    # gate joins FIRST, quality LAST: the tokenize/quality pass runs
+    # only over dedup+language survivors (quality is a pure per-row
+    # function of text, so restricting where it's computed cannot
+    # change the surviving rows — the oracle computes it corpus-wide)
+    survivors = (
+        docs.join(exact_keep, "doc_id")
+        .join(near_drop, "doc_id", "left_anti")
+        .filter(F.col("lang") == "en")
+    )
+    return (
+        textstats.quality_score(survivors)
+        .filter(F.col("quality_e4") >= 5000)
+        .select("doc_id", "quality_e4")
+    )
+
+
 # --- similarity search -------------------------------------------------------
 
 _IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
@@ -255,13 +330,15 @@ def q_ann_lsh_bucket(spark, sf_dir):
     )
 
 
-# --- IVF ANN: full-training oracle ------------------------------------------
+# --- IVF ANN: sampled-training oracle ----------------------------------------
 # Reproduces similarity.ivf_train + ann_ivf_topk end-to-end in SQL:
-# e4 quantization → K=8 init (smallest vec_ids) → 2 Lloyd iterations
-# with exact integer cluster sums (order-insensitive) and
-# keep-previous-on-empty → final cell assignment → nprobe=2 probe →
-# exact cosine rank within probed cells. Every float op has identical
-# literal structure on both sides (see similarity.py IVF notes).
+# e4 quantization → deterministic training sample (vec_id % MOD = 0 OR
+# vec_id < MOD·K — Lloyd never scans the full corpus) → K=8 init
+# (smallest sampled vec_ids) → 2 Lloyd iterations with exact integer
+# cluster sums (order-insensitive) and keep-previous-on-empty → final
+# FULL-corpus cell assignment → nprobe=2 probe → exact cosine rank
+# within probed cells. Every float op has identical literal structure
+# on both sides (see similarity.py IVF notes).
 
 _IVF_DIM_RANGE = f"range(1, {EMB_DIM + 1})"
 
@@ -275,12 +352,13 @@ def _ivf_dist_sql(qv: str, c: str) -> str:
 
 
 def _ivf_iter_sql(i: int, prev_c: str) -> str:
-    """CTEs d{i}/a{i}/n{i}/c{i}: assign against prev_c, re-estimate."""
+    """CTEs d{i}/a{i}/n{i}/c{i}: assign the TRAINING SAMPLE (tr)
+    against prev_c, re-estimate."""
     return f"""
 d{i} AS (
   SELECT v.vec_id, {prev_c}.k,
          {_ivf_dist_sql('v.qv', f'{prev_c}.c')} AS dist
-  FROM qv v CROSS JOIN {prev_c}
+  FROM tr v CROSS JOIN {prev_c}
 ),
 a{i} AS (SELECT vec_id, k FROM (
   SELECT vec_id, k,
@@ -288,7 +366,7 @@ a{i} AS (SELECT vec_id, k FROM (
   FROM d{i}) WHERE rn = 1),
 n{i} AS (
   SELECT a{i}.k, js.j, sum(v.qv[js.j])::BIGINT AS s, count(*)::BIGINT AS cnt
-  FROM a{i} JOIN qv v USING (vec_id)
+  FROM a{i} JOIN tr v USING (vec_id)
   CROSS JOIN (SELECT unnest({_IVF_DIM_RANGE}) AS j) js
   GROUP BY a{i}.k, js.j
 ),
@@ -307,10 +385,15 @@ WITH qv AS (
            j -> floor(embedding[j]::DOUBLE * 10000.0 + 0.5)::BIGINT) AS qv
   FROM embeddings
 ),
+tr AS (
+  SELECT vec_id, qv FROM qv
+  WHERE vec_id % {similarity.IVF_SAMPLE_MOD} = 0
+     OR vec_id < {similarity.IVF_SAMPLE_MOD * similarity.IVF_K}
+),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
          list_transform(qv, x -> x::DOUBLE) AS c
-  FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id
+  FROM (SELECT vec_id, qv FROM tr ORDER BY vec_id
         LIMIT {similarity.IVF_K})
 ),{_ivf_iter_sql(1, 'c0')},{_ivf_iter_sql(2, 'c1')},
 d3 AS (
@@ -352,8 +435,6 @@ def q_ann_ivf(spark, sf_dir):
 
 
 # --- text analysis -----------------------------------------------------------
-
-_STOP_IN = ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS)
 
 _SQL_TOKEN_COUNTS = """
 WITH tl AS (SELECT doc_id, text,
@@ -525,11 +606,11 @@ dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
 stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl),
 agg AS (
   SELECT t.doc_id,
-         floor(sum(
+         sum(floor((
            ln(1.0 + (n - df + 0.5) / (df + 0.5))
            * tf * 2.2
            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
-         ) * 10000.0 + 0.5)::BIGINT AS score_e4
+         ) * 10000.0 + 0.5)::BIGINT)::BIGINT AS score_e4
   FROM tf t JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
   WHERE term IN {QT_SQL}
   GROUP BY t.doc_id HAVING count(*) = {len(QT)}
@@ -589,8 +670,6 @@ FROM topk t LEFT JOIN sn USING (doc_id)
 
 @_reg("q_search_snippets", _SQL_SNIPPETS)
 def q_search_snippets(spark, sf_dir):
-    from pyspark.sql import Window
-
     from .functions.udfs import snippet_udf
     from .operators.search import bm25_term_score, lemmatize_query
 
@@ -605,6 +684,10 @@ def q_search_snippets(spark, sf_dir):
         tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
         n_docs=F.col("n"), avgdl=F.col("avgdl"),
     )
+    # per-term fixed-point BEFORE the sum: floor each BM25 contribution
+    # to e4 and integer-sum — the compared value is then exact on both
+    # engines (a double sum finished by one floor can flip by 1 when
+    # partition accumulation order differs by an ulp at a .5 boundary)
     agg = (
         tf.filter(F.col("term").isin(QT))
         .join(dl, "doc_id")
@@ -612,17 +695,23 @@ def q_search_snippets(spark, sf_dir):
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
-            F.floor(F.sum(w) * 10000.0 + F.lit(0.5)).cast("long")
+            F.sum(F.floor(w * 10000.0 + F.lit(0.5)).cast("long"))
             .alias("score_e4"),
             F.count(F.lit(1)).alias("k"),
         )
         .filter(F.col("k") == len(QT))
         .select("doc_id", "score_e4")
     )
-    win = Window.orderBy(F.desc("score_e4"), F.asc("doc_id"))
-    topk = (
-        agg.withColumn("rank", F.row_number().over(win).cast("long"))
-        .filter(F.col("rank") <= 10)
+    # top-10 via TakeOrderedAndProject + driver-side rank over the 10
+    # collected rows — not a global row_number() window, which would
+    # move the whole conjunctive match set to a single partition
+    top = (
+        agg.orderBy(F.desc("score_e4"), F.asc("doc_id")).limit(10).collect()
+    )
+    topk = spark.createDataFrame(
+        [(int(r["doc_id"]), int(r["score_e4"]), i + 1)
+         for i, r in enumerate(top)],
+        "doc_id long, score_e4 long, rank long",
     )
     snip = snippet_udf(lemmatize_query(" ".join(QT)), radius=SNIPPET_RADIUS)
     return (
@@ -632,74 +721,6 @@ def q_search_snippets(spark, sf_dir):
             "doc_id", "score_e4", "rank",
             snip(F.coalesce(F.col("text"), F.lit(""))).alias("snippet"),
         )
-    )
-
-
-# --- flagship composite: clean training corpus ------------------------------
-# exact dedup (keep min doc_id per md5) → minhash-LSH near-dedup (drop
-# the higher doc_id of every candidate pair) → quality + language gate.
-# The end-to-end materialization a 100 TB pretraining pipeline runs;
-# every stage is individually oracle-verified above, and the composite
-# is verified as a whole here.
-
-_SQL_CLEAN = f"""
-WITH {_SQL_SHINGLES}, {_SQL_MINHASH},
-bands AS ({_BAND_SELECTS}),
-bsz AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
-bok AS (SELECT bands.* FROM bands JOIN bsz USING (band, key) WHERE bsz.n <= 1000),
-near_drop AS (
-  SELECT DISTINCT b.doc_id AS doc_id
-  FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id < b.doc_id AND ({_NCOMMON}) >= 8
-),
-exact_keep AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-),
-q AS (
-  SELECT doc_id,
-         len(ts)::BIGINT AS n,
-         len(list_distinct(ts))::BIGINT AS uniq,
-         len(list_filter(ts, t -> t IN ({_STOP_IN})))::BIGINT AS stops
-  FROM tl WHERE len(ts) > 0
-),
-quality AS (
-  SELECT doc_id,
-         floor((0.4 * least(1.0, n / 100.0)
-                + 0.3 * (uniq / n)
-                + 0.3 * (1.0 - stops / n)) * 10000.0 + 0.5)::BIGINT AS q_e4
-  FROM q
-)
-SELECT d.doc_id, quality.q_e4 AS quality_e4
-FROM documents d
-JOIN exact_keep USING (doc_id)
-JOIN quality USING (doc_id)
-WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
-  AND quality.q_e4 >= 5000
-  AND d.lang = 'en'
-"""
-
-
-@_reg("q_clean_corpus", _SQL_CLEAN)
-def q_clean_corpus(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    exact_keep = dedup.exact_dedup_groups(docs).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
-    near_drop = (
-        dedup.minhash_lsh_pairs(docs)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    quality = textstats.quality_score(docs).select(
-        "doc_id", F.col("quality_e4")
-    )
-    return (
-        docs.select("doc_id", "lang")
-        .join(exact_keep, "doc_id")
-        .join(quality, "doc_id")
-        .join(near_drop, "doc_id", "left_anti")
-        .filter((F.col("quality_e4") >= 5000) & (F.col("lang") == "en"))
-        .select("doc_id", "quality_e4")
     )
 
 

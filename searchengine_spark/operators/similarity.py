@@ -306,15 +306,25 @@ def ann_lsh_topk(
 #   * distances fold sequentially over components in index order;
 #   * ties (equal distance) assign to the smallest centroid id;
 #   * empty clusters keep their previous centroid;
-#   * init = the K smallest vec_ids' quantized vectors, ITERS fixed.
-# At scale: train on a sample, ship the K·dim centroids in the task
-# closure, assignment is a MAP-ONLY Arrow/numpy kernel on the scan (no
-# join, no shuffle); the per-query probe joins only nprobe cells'
-# vectors.
+#   * init = the K smallest sampled vec_ids' quantized vectors, ITERS
+#     fixed.
+# Scale shape (implemented, not aspirational): Lloyd trains on the
+# deterministic IVF_SAMPLE_MOD sample only, the K·dim centroids ship in
+# the task closure, assignment is a MAP-ONLY Arrow/numpy kernel on the
+# scan (no join, no shuffle) run ONCE over the full corpus; the
+# per-query probe joins only nprobe cells' vectors.
 
 IVF_K = 8
 IVF_ITERS = 2
 IVF_NPROBE = 2
+# Lloyd trains on a deterministic ~1/MOD sample (vec_id % MOD == 0),
+# plus the first MOD·K ids so a small corpus still trains on every
+# vector (degrade semantics + init identical to full training). The
+# predicate is pure integer arithmetic on nonnegative ids, so the
+# DuckDB oracle replicates the sample exactly. Full-corpus training
+# cost scales with the corpus; sampled training is the standard IVF
+# recipe (train on a sample, assign everything once).
+IVF_SAMPLE_MOD = 4
 
 
 def _quantize_col(vec: Column) -> Column:
@@ -381,37 +391,54 @@ def ivf_train(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: k centroids after `iters` Lloyd
-    iterations over the e4-quantized vectors. Each iteration is one
-    groupBy over (assignment, component) whose output is K·dim integer
-    sums — tiny, collected to the driver, and turned into the next
-    round's literal centroids (broadcast-by-literal)."""
-    q = emb.select(
+    iterations over the e4-quantized vectors of the TRAINING SAMPLE
+    (vec_id % IVF_SAMPLE_MOD == 0, plus the first MOD·k ids — see
+    IVF_SAMPLE_MOD). Each iteration is one groupBy over (assignment,
+    component) whose output is K·dim integer sums — tiny, collected to
+    the driver, and turned into the next round's literal centroids
+    (broadcast-by-literal). The full corpus is never scanned during
+    training; ann_ivf_topk assigns it once with the final centroids."""
+    q_all = emb.select(
         F.col(id_col).alias("vec_id"), _quantize_col(F.col(vec_col)).alias("qv")
     )
+    q = q_all.filter(
+        (F.col("vec_id") % IVF_SAMPLE_MOD == 0)
+        | (F.col("vec_id") < IVF_SAMPLE_MOD * k)
+    )
     init = q.orderBy("vec_id").limit(k).collect()
+    if not init:
+        # sparse id space (every id ≥ MOD·k and none ≡ 0 mod MOD) —
+        # fall back to full training; never triggered on dense 0-based
+        # ids, so the SQL oracle needn't replicate this branch
+        q = q_all
+        init = q.orderBy("vec_id").limit(k).collect()
     if not init:
         raise ValueError("cannot train an IVF quantizer on an empty corpus")
     # corpora smaller than k degrade to one cell per vector
     centroids = [[float(x) for x in r["qv"]] for r in init]
     k = len(centroids)
-    for _ in range(iters):
-        assign = _assign_udf(centroids)
-        parts = (
-            q.select(assign(F.col("qv")).alias("c"),
-                     F.posexplode("qv").alias("j", "v"))
-            .groupBy("c", "j")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        sums: dict[int, list[int]] = {}
-        cnts: dict[int, int] = {}
-        for r in parts:
-            sums.setdefault(r["c"], [0] * dim)[r["j"]] = r["s"]
-            cnts[r["c"]] = r["cnt"]
-        centroids = [
-            [s / cnts[kk] for s in sums[kk]] if kk in sums else centroids[kk]
-            for kk in range(k)
-        ]
+    q = q.persist()  # each Lloyd pass re-reads the sample; quantize once
+    try:
+        for _ in range(iters):
+            assign = _assign_udf(centroids)
+            parts = (
+                q.select(assign(F.col("qv")).alias("c"),
+                         F.posexplode("qv").alias("j", "v"))
+                .groupBy("c", "j")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            sums: dict[int, list[int]] = {}
+            cnts: dict[int, int] = {}
+            for r in parts:
+                sums.setdefault(r["c"], [0] * dim)[r["j"]] = r["s"]
+                cnts[r["c"]] = r["cnt"]
+            centroids = [
+                [s / cnts[kk] for s in sums[kk]] if kk in sums else centroids[kk]
+                for kk in range(k)
+            ]
+    finally:
+        q.unpersist()
     return centroids
 
 
