@@ -3,14 +3,25 @@
 
 Measures the north-rule metric (BASELINE.json): index-build docs/sec for
 the crawl→extract→lemmatize→index→pack pipeline, plus per-query latency
-(p50/p95) for the reference query set over the packed index (block-max
-WAND + BM25), plus a handful of headline contract queries on the
-driver's `documents` table.
+(p50/p95) for the FULL reference query set (incl. site filter, offset
+pagination, legacy scoring) over the packed index (block-max WAND +
+BM25), plus a handful of headline contract queries on the driver's
+`documents` table.
+
+Noise protocol (VERDICT r2): this VM shows multi-second stall episodes
+that inflate single-pass timings ~2× uniformly. Every repeatable query
+is therefore timed min-of-N (default N=3, BENCH_RUNS to override) — the
+minimum is the run least polluted by exogenous stalls. The heavy
+pipeline queries (minhash, IVF, clean-corpus) run AFTER the
+r1-comparable set in registration order, so they cannot contaminate the
+cross-round-comparable numbers via GC/cache pressure in the shared
+session. One-shot stages (corpus gen) are flagged as single-pass.
 
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] cores (default 32)
   BENCH_WEB_DOCS      override web-corpus size (default sf * 1e6)
+  BENCH_RUNS          min-of-N repetitions per query (default 3)
 """
 
 from __future__ import annotations
@@ -36,6 +47,7 @@ def pctl(xs, q):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -57,44 +69,64 @@ def main() -> None:
     queries: dict[str, float] = {}
     t_total0 = time.monotonic()
 
+    def timed(fn, n=runs):
+        """min-of-n wall time of fn() — see noise protocol above."""
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        return best
+
     # ---- north-star pipeline: web corpus -> packed index ------------------
     n_web = int(os.environ.get("BENCH_WEB_DOCS", str(max(2000, int(sf * 1e6)))))
     corpus_path = f"{tmp}/docs"
     t0 = time.monotonic()
     write_corpus(spark, n_web, corpus_path)
-    queries["gen_corpus"] = time.monotonic() - t0
+    queries["gen_corpus"] = time.monotonic() - t0  # single-pass (setup)
 
     docs = spark.read.parquet(corpus_path)
-    t0 = time.monotonic()
-    index = materialize_index(spark, docs, f"{tmp}/idx", use_html=True)
-    t_build = time.monotonic() - t0
+    index = None
+
+    def _build():
+        nonlocal index
+        index = materialize_index(spark, docs, f"{tmp}/idx", use_html=True)
+
+    # min-of-2: one repetition bounds the stall pollution without
+    # doubling the whole harness (build is the longest stage)
+    t_build = timed(_build, n=min(runs, 2))
     queries["build_index"] = t_build
 
     n_docs, avgdl = rsearch.corpus_constants(index.doc_stats)
-    t0 = time.monotonic()
-    segs = build_segments(index, n_docs, avgdl)
-    write_segments(segs, f"{tmp}/segments")
-    t_pack = time.monotonic() - t0
+
+    def _pack():
+        segs = build_segments(index, n_docs, avgdl)
+        write_segments(segs, f"{tmp}/segments")
+
+    t_pack = timed(_pack, n=min(runs, 2))
     queries["pack_segments"] = t_pack
 
     segments = spark.read.parquet(f"{tmp}/segments").cache()
     segments.count()
     term_stats = index.term_stats.cache()
     term_stats.count()
+    doc_stats = index.doc_stats.cache()
+    doc_stats.count()
     # a query server keeps term stats hot; collect once, serve all queries
     df_map = {r["term"]: r["df"] for r in term_stats.collect()}
+    n_shards = int(segments.agg(F.max("shard")).collect()[0][0]) + 1
 
-    # ---- query latency: reference query set over the packed index ---------
+    # ---- query latency: FULL reference query set over the packed index ----
     lat = []
     for qid, qtext, site, offset, limit, mode, conj in QUERIES:
-        if mode != "bm25" or site is not None or offset:
-            continue  # packed path benches the pure bm25 top-k kernel
-        t0 = time.monotonic()
-        wand.search_packed(
-            spark, segments, term_stats, n_docs, avgdl, qtext,
-            k=limit, conjunctive=conj, df_map=df_map,
-        ).collect()
-        dt = time.monotonic() - t0
+        dt = timed(
+            lambda: wand.search_packed(
+                spark, segments, term_stats, n_docs, avgdl, qtext,
+                k=limit, conjunctive=conj, mode=mode, site=site,
+                offset=offset, doc_stats=doc_stats, n_shards=n_shards,
+                df_map=df_map,
+            ).collect()
+        )
         lat.append(dt)
         queries[f"wand_q{qid}"] = dt
 
@@ -102,28 +134,32 @@ def main() -> None:
     # a query server serves from a warm session)
     rsearch.search(spark, index, "данные", k=20,
                    constants=(n_docs, avgdl)).collect()
-    t0 = time.monotonic()
-    rsearch.search(spark, index, "быстрый поиск слова", k=20,
-                   constants=(n_docs, avgdl)).collect()
-    queries["relational_bm25"] = time.monotonic() - t0
+    queries["relational_bm25"] = timed(
+        lambda: rsearch.search(spark, index, "быстрый поиск слова", k=20,
+                               constants=(n_docs, avgdl)).collect()
+    )
 
     # ---- headline contract queries on the driver tables --------------------
-    for name in (
+    # r1-comparable set FIRST, heavy pipeline queries LAST (isolation)
+    light = (
         "q_bm25_conjunctive",
         "q_doc_frequency",
+        "q_join_agg_revenue",
+        "q_search_snippets",
+    )
+    heavy = (
         "q_dedup_minhash_lsh",
         "q_ann_cosine_topk",
         "q_ann_ivf",
-        "q_join_agg_revenue",
-        "q_search_snippets",
         "q_clean_corpus",
-    ):
-        fn = contract.queries().get(name)
+    )
+    reg = contract.queries()
+    for name in light + heavy:
+        fn = reg.get(name)
         if fn is None:
             continue
-        t0 = time.monotonic()
-        fn(spark, sf_dir).collect()
-        queries[name] = time.monotonic() - t0
+        n = runs if name in light else min(runs, 2)
+        queries[name] = timed(lambda: fn(spark, sf_dir).collect(), n=n)
 
     total = time.monotonic() - t_total0
     shutil.rmtree(tmp, ignore_errors=True)
@@ -140,6 +176,11 @@ def main() -> None:
         "pack_docs_per_sec": round(n_web / t_pack, 1),
         "query_p50_sec": round(pctl(lat, 0.50), 4),
         "query_p95_sec": round(pctl(lat, 0.95), 4),
+        "noise_protocol": (
+            f"min-of-{runs} per query (build/pack/heavy min-of-2, "
+            "gen_corpus single-pass); heavy pipeline queries run after "
+            "the r1-comparable set"
+        ),
     }
     # latest two-cluster-size scaling evidence (scripts/scaling.py →
     # SCALING.json; see BASELINE.md "Measured results")

@@ -52,12 +52,20 @@ def read_manifest(spark: SparkSession, base: str) -> DataFrame:
     existing non-empty manifest PROPAGATES — swallowing it would
     bypass the shard-mapping guard below and let a resume silently mix
     two shard mappings in one index (the corruption the guard
-    prevents)."""
-    import os
+    prevents).
 
+    Existence is resolved through the Hadoop FileSystem API, so the
+    check is correct on ANY filesystem an index base can live on
+    (local, file:, hdfs://, s3a://) — an os.path probe would silently
+    report "no manifest" for every URI-style base and defeat the
+    shard-mapping guard exactly where clusters run."""
     path = manifest_path(base)
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for f in os.listdir(path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath) or not any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(hpath)
     ):
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     return spark.read.parquet(path)

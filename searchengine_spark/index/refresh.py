@@ -153,7 +153,18 @@ def refresh_and_repack(
     recoverable by `recover(base)` — roll forward if the temps are
     complete (any started swap implies they were), roll back (delete
     temps) otherwise. `fail_before_swap` / `fail_mid_swap` inject
-    crashes at the two interesting points for the recovery tests."""
+    crashes at the two interesting points for the recovery tests.
+
+    READER EXCLUSION: the two-rename swap leaves a window in which
+    segments/ or idx/ briefly does not exist — a query served between
+    the renames fails with a missing-path error. Single WRITER is
+    already required; concurrent READERS must be paused across the
+    swap (a query server re-opens the index after the refresh returns).
+    A deployment that cannot pause reads should swap via a versioned
+    directory plus an atomically replaced pointer (or an Iceberg
+    snapshot commit — sources/catalog.py), so every reader always
+    resolves one complete tree; the rename swap is the local-POSIX
+    stand-in for that pointer flip."""
     recover(base)  # settle any crashed previous refresh first
     seg_path = f"{base}/segments"
     segments = spark.read.parquet(seg_path)

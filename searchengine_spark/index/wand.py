@@ -218,13 +218,36 @@ class _TermList:
         return sc, present
 
 
-def _theta_seed(shortest: _TermList, k: int) -> float:
+def _intersect_sorted(cand: np.ndarray, allowed: np.ndarray) -> np.ndarray:
+    """cand ∩ allowed for two sorted int64 arrays (keeps cand order)."""
+    if len(cand) == 0 or len(allowed) == 0:
+        return cand[:0]
+    pos = np.searchsorted(allowed, cand)
+    pos_c = np.minimum(pos, len(allowed) - 1)
+    ok = (pos < len(allowed)) & (allowed[pos_c] == cand)
+    return cand[ok]
+
+
+def _theta_seed(
+    shortest: _TermList, k: int, allowed: np.ndarray | None = None
+) -> float:
     """k-th best exact score of the shortest list — a valid lower
     bound on the final k-th best total (each doc's total ≥ its
-    single-term score there)."""
-    if shortest.n <= k:
+    single-term score there). With a doc filter (site), only allowed
+    docs may seed θ: a disallowed doc's score is NOT a lower bound on
+    any final result, and an inflated θ would unsoundly prune."""
+    ids, scores = shortest.decode_all()
+    if allowed is not None:
+        pos = np.searchsorted(allowed, ids)
+        pos_c = np.minimum(pos, max(len(allowed) - 1, 0))
+        ok = (
+            (pos < len(allowed)) & (allowed[pos_c] == ids)
+            if len(allowed)
+            else np.zeros(len(ids), dtype=bool)
+        )
+        scores = scores[ok]
+    if len(scores) <= k:
         return 0.0
-    scores = shortest.decode_all()[1]
     return float(np.partition(scores, -k)[-k])
 
 
@@ -254,12 +277,20 @@ def _empty_topk(k: int) -> pd.DataFrame:
 
 def wand_shard_topk(
     pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int, conjunctive: bool,
-    n_terms: int, mode: str = "bm25",
+    n_terms: int, mode: str = "bm25", allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One shard's segments (all query terms) → shard-local top-k.
     mode="legacy" scores sum(tf)/max(tf) (reference A3) — block-max
     pruning is disabled there (the block annotations bound BM25, not
-    tf ratios); candidates are scored exhaustively."""
+    tf ratios); candidates are scored exhaustively.
+
+    `allowed` (sorted unique int64, or None): doc-level filter — this
+    shard's members of the site being searched (reference site filter,
+    ApiService.java:88-98). Candidates are intersected with it BEFORE
+    scoring; corpus statistics stay global (filtered retrieval must not
+    change term weights — same contract as the relational path)."""
+    if allowed is not None and len(allowed) == 0:
+        return _empty_topk(k)
     lists = [
         _TermList(rows, n_docs, avgdl, mode)
         for _, rows in pdf.groupby("term", sort=False)
@@ -273,9 +304,12 @@ def wand_shard_topk(
             # can match all terms (shards partition the doc space)
             return _empty_topk(k)
         # rarest-first intersection cascade (R1): drive with the
-        # shortest list (fully decoded), probe the rest lazily
+        # shortest list (fully decoded), probe the rest lazily; the
+        # site filter is the cheapest predicate — apply it first
         lists.sort(key=lambda t: t.n)
         cand = lists[0].decode_all()[0]
+        if allowed is not None:
+            cand = _intersect_sorted(cand, allowed)
         for t in lists[1:]:
             if len(cand) == 0:
                 break
@@ -297,7 +331,7 @@ def wand_shard_topk(
     # disjunctive: block-max pruning, then exact scoring of survivors
     # (legacy mode: no sound block bound for sum/max → no pruning)
     shortest = min(lists, key=lambda t: t.n)
-    theta = _theta_seed(shortest, k) if mode == "bm25" else 0.0
+    theta = _theta_seed(shortest, k, allowed) if mode == "bm25" else 0.0
     gmax_sum = sum(t.gmax for t in lists)
     survivors = []
     for t in lists:
@@ -309,6 +343,10 @@ def wand_shard_topk(
     if not survivors:
         return _empty_topk(k)
     cand = np.unique(np.concatenate(survivors))
+    if allowed is not None:
+        cand = _intersect_sorted(cand, allowed)
+    if len(cand) == 0:
+        return _empty_topk(k)
     scores = np.zeros(len(cand), dtype=np.float64)
     maxs = np.zeros(len(cand), dtype=np.float64)
     n_hit = np.zeros(len(cand), dtype=np.int64)
@@ -335,22 +373,47 @@ def search_packed(
     max_rel_freq: float = 0.95,
     df_map: dict | None = None,
     mode: str = "bm25",
+    site: str | None = None,
+    offset: int = 0,
+    doc_stats: DataFrame | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Top-k over the packed index → DataFrame(doc_id, score).
 
     Plan shape: parquet scan pruned to the query terms (term predicate
     + shard partitioning) → one applyInPandas kernel per shard →
-    global TakeOrderedAndProject of ≤ n_shards·k rows. Two shuffles
-    total, both tiny.
+    global TakeOrderedAndProject of ≤ n_shards·(offset+k) rows. Two
+    shuffles total, both tiny.
 
     `df_map` (term → df): pass a pre-collected dictionary to skip the
     per-query term_stats lookup job — a query server collects it once
     (or holds the broadcast) and serves every query from it.
+
+    `site` (reference ApiService.java:88-98): doc-level filter served
+    WITHOUT leaving the packed path — the site's member docs, keyed to
+    the same doc-space hash shards as the segments, cogroup into the
+    WAND kernel, which intersects candidates against the shard's
+    (|site|/n_shards)-sized slice. One extra shuffle of the site's doc
+    list only; the corpus itself never moves, and per-task memory stays
+    bounded however large the site is. Requires `doc_stats` (doc_id,
+    site) and the index's `n_shards` (recorded in the build manifest;
+    inferred from the segment frame when omitted).
+
+    `offset` (reference SearchResponse.java:42-50): pagination — each
+    shard returns its top (offset+k), the global heap keeps (offset+k),
+    and the offset rows are sliced driver-side, same bounded semantics
+    as the relational path (operators.search.MAX_OFFSET).
     """
+    from ..operators.search import MAX_OFFSET, empty_df
+
+    if k < 0 or offset < 0:
+        raise ValueError(
+            f"k and offset must be >= 0 (got k={k}, offset={offset})"
+        )
+    if offset > MAX_OFFSET:
+        raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
     lemmas = lemmatize_query(query)
     if not lemmas:
-        from ..operators.search import empty_df
-
         return empty_df(spark, "doc_id long, score double")
     if df_map is not None:
         stats = {t: df_map[t] for t in lemmas if t in df_map}
@@ -367,22 +430,65 @@ def search_packed(
         if t in stats and stats[t] / float(n_docs) <= max_rel_freq
     ]
     if not terms:
-        from ..operators.search import empty_df
-
         return empty_df(spark, "doc_id long, score double")
     n_terms = len(terms)
+    k_eff = offset + k
 
     seg = segments.filter(F.col("term").isin(terms))
-    per_shard = seg.groupBy("shard").applyInPandas(
-        lambda pdf: wand_shard_topk(pdf, n_docs, avgdl, k, conjunctive,
-                                    n_terms, mode),
-        schema=TOPK_OUT_SCHEMA,
-    )
+    if site is None:
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: wand_shard_topk(pdf, n_docs, avgdl, k_eff,
+                                        conjunctive, n_terms, mode),
+            schema=TOPK_OUT_SCHEMA,
+        )
+    else:
+        if doc_stats is None:
+            raise ValueError(
+                "site filter on the packed path needs doc_stats "
+                "(doc_id, site)"
+            )
+        if n_shards is None:
+            # infer from the UNFILTERED segment frame (max shard id +1
+            # — exact whenever every shard holds ≥1 segment, i.e. any
+            # non-toy corpus); pass the manifest's n_shards when exact
+            # metadata is at hand
+            n_shards = int(
+                segments.agg(F.max("shard")).collect()[0][0]
+            ) + 1
+        members = doc_stats.filter(F.col("site") == site).select(
+            "doc_id",
+            F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
+            .alias("shard"),
+        )
+
+        def _kernel(seg_pdf: pd.DataFrame, mem_pdf: pd.DataFrame):
+            allowed = np.sort(
+                mem_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+            )
+            return wand_shard_topk(seg_pdf, n_docs, avgdl, k_eff,
+                                   conjunctive, n_terms, mode,
+                                   allowed=allowed)
+
+        per_shard = (
+            seg.groupby("shard")
+            .cogroup(members.groupby("shard"))
+            .applyInPandas(_kernel, schema=TOPK_OUT_SCHEMA)
+        )
     out = per_shard
     if conjunctive:
         out = out.filter(F.col("n_hit") == n_terms)
-    return (
+    out = (
         out.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+        .limit(k_eff)
     )
+    if offset:
+        # driver-side slice of the top (offset+k) rows — reference list
+        # slice semantics, identical to the relational path
+        sliced = out.collect()[offset:]
+        return (
+            spark.createDataFrame(sliced, out.schema)
+            if sliced
+            else empty_df(spark, "doc_id long, score double")
+        )
+    return out

@@ -93,7 +93,13 @@ def minhash_signatures(docs: DataFrame, text: str = "text") -> DataFrame:
     a per-doc reduction, so it needs neither the shingle explode (the
     column formulation's transform/md5 runs interpreted — no codegen
     for higher-order functions — and was the dominant cost) nor any
-    shuffle: the stage is map-only on the scan."""
+    shuffle: the stage is map-only on the scan.
+
+    Null-text docs are dropped UP FRONT: the column formulation
+    null-propagates (null mh components can never satisfy an equality
+    band join), and the SQL oracle's null hashes likewise never pair —
+    hashing null as "" here would instead give every null-text doc the
+    SAME signature and flag them all as mutual near-duplicates."""
     import pandas as pd
 
     params = [minhash_params(k) for k in range(NUM_MINHASH)]
@@ -113,7 +119,11 @@ def minhash_signatures(docs: DataFrame, text: str = "text") -> DataFrame:
                 out[f"mh{k}"] = cols[k]
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id", text).mapInPandas(run, schema=schema)
+    return (
+        docs.select("doc_id", text)
+        .filter(F.col(text).isNotNull())
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def minhash_lsh_pairs(

@@ -68,38 +68,75 @@ def test_segment_unpack_matches_postings(spark, index, segments):
     assert got == want
 
 
-PACKED_QUERIES = [
-    ("индекс", True),
-    ("поиска индексы", True),
-    ("spark join", True),
-    ("быстрый поиск слова", True),
-    ("быстрый поиск", False),
-    ("merge sort hash", True),
-    ("данные", True),
-    ("и в на", True),
-    ("data", True),
-    ("nosuchwordxyz", True),
-    ("стекла", True),
-]
+from .queries import QUERIES  # noqa: E402
 
 
-@pytest.mark.parametrize("query,conj", PACKED_QUERIES)
-def test_packed_equals_relational(spark, index, segments, constants, query, conj):
+@pytest.mark.parametrize(
+    "qid,query,site,offset,limit,mode,conj", QUERIES,
+    ids=[str(q[0]) for q in QUERIES],
+)
+def test_packed_equals_relational(
+    spark, index, segments, constants, qid, query, site, offset, limit,
+    mode, conj,
+):
+    """Packed/WAND path serves the FULL reference query set (incl. site
+    filter, offset pagination, legacy scoring) rank-identically to the
+    relational path — both order by (score desc, doc_id asc)."""
     n, avgdl = constants
     got = search_packed(
-        spark, segments, index.term_stats, n, avgdl, query, k=20, conjunctive=conj
+        spark, segments, index.term_stats, n, avgdl, query,
+        k=limit, conjunctive=conj, mode=mode, site=site, offset=offset,
+        doc_stats=index.doc_stats, n_shards=4,
     ).collect()
     want = S.search(
-        spark, index, query, k=20, conjunctive=conj, constants=constants
+        spark, index, query, k=limit, offset=offset, site=site, mode=mode,
+        conjunctive=conj, constants=constants,
     ).collect()
-    gd = [(r["doc_id"], r["score"]) for r in got]
-    # relational path ties break on url; packed path on doc_id — compare
-    # as (score-sorted) doc sets with scores
-    wd = {r["doc_id"]: r["score"] for r in want}
-    assert len(gd) == len(wd)
-    assert {d for d, _ in gd} == set(wd)
-    for d, s in gd:
-        assert s == pytest.approx(wd[d], rel=1e-9)
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], (
+        f"query {qid} rank mismatch"
+    )
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9), (
+            f"query {qid} score mismatch at doc {g['doc_id']}"
+        )
+
+
+def test_packed_site_filter_inferred_shards(spark, index, segments, constants):
+    """Site filter works without an explicit n_shards (inferred from
+    the segment frame) and returns only that site's docs."""
+    n, avgdl = constants
+    got = search_packed(
+        spark, segments, index.term_stats, n, avgdl, "запрос страница",
+        k=20, site="site3.example", doc_stats=index.doc_stats,
+    ).collect()
+    assert got, "site-filtered query should match on the fixture corpus"
+    member_ids = {
+        r["doc_id"]
+        for r in index.doc_stats.filter(
+            F.col("site") == "site3.example"
+        ).collect()
+    }
+    assert {r["doc_id"] for r in got} <= member_ids
+
+
+def test_packed_offset_slices_the_same_ranking(spark, index, segments, constants):
+    """offset=o, k=k returns rows [o, o+k) of the offset-0 ranking."""
+    n, avgdl = constants
+    full = search_packed(
+        spark, segments, index.term_stats, n, avgdl, "индекс", k=10
+    ).collect()
+    page = search_packed(
+        spark, segments, index.term_stats, n, avgdl, "индекс", k=5, offset=5
+    ).collect()
+    assert [r["doc_id"] for r in page] == [r["doc_id"] for r in full[5:10]]
+    # offset past the result set → empty frame, no exception
+    assert (
+        search_packed(
+            spark, segments, index.term_stats, n, avgdl, "индекс",
+            k=5, offset=9000,
+        ).count()
+        == 0
+    )
 
 
 def test_merge_runs_spark(spark, index, segments, constants):

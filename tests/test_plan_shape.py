@@ -144,6 +144,31 @@ def test_ngram_jaccard_no_big_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_kmv_plan_has_no_window(spark):
+    """KMV's k-th minimum must come from the bounded per-partition
+    partial (mapInPandas min-k heap) + tiny merge — not a per-group
+    row_number window, which would ship EVERY distinct hash of a group
+    to one reducer (VERDICT r2 #3: a web-scale group serializes)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.col("id").alias("key"),
+    )
+    out = kmv_distinct(df, "key", "grp", k=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "per-group window back in the KMV plan"
+    assert "MapInPandas" in plan, "bounded partial min-k node missing"
+    # partial sits below the final group merge: exactly the distinct
+    # shuffle + the merge shuffle, nothing per-hash after the partial
+    i_map = plan.find("MapInPandas")
+    assert plan[:i_map].count("Exchange hashpartitioning") == 1, (
+        "final merge should be the only exchange above the partial"
+    )
+
+
 def test_wand_plan_term_pruned(spark, built):
     idx, segments, n, avgdl = built
     out = search_packed(

@@ -91,3 +91,20 @@ def test_resume_is_noop_when_complete(spark, tmp_path, index):
     )
     m2 = read_manifest(spark, base).count()
     assert m1 == m2 == N_GROUPS
+
+
+def test_read_manifest_resolves_uri_paths(spark, index, tmp_path):
+    """ADVICE r2: manifest existence must resolve through the Hadoop
+    FileSystem API — a file:-scheme base (any URI base) with a real
+    manifest must NOT read as empty, or the shard-mapping resume guard
+    is silently bypassed exactly where clusters run."""
+    n, avgdl = corpus_constants(index.doc_stats)
+    base = str(tmp_path / "uri_build")
+    build_packed_resumable(
+        spark, index, base, n, avgdl, n_shards=N_SHARDS, n_groups=2,
+    )
+    plain = read_manifest(spark, base)
+    via_uri = read_manifest(spark, f"file:{base}")
+    assert plain.count() == via_uri.count() > 0
+    # and a genuinely absent URI base still reads as empty, not an error
+    assert read_manifest(spark, f"file:{tmp_path}/nope").count() == 0
