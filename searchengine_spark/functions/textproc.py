@@ -197,3 +197,113 @@ def make_snippet(text: str | None, query_lemmas: list[str], radius: int = 3) -> 
         )
         frags.append(frag)
     return " ... ".join(frags)
+
+
+# ---------------------------------------------------------------------------
+# char-walk snippet mode (reference parity; SnippetMapper.java:13-142)
+# ---------------------------------------------------------------------------
+
+# isPartOfWord (SnippetMapper.java:118-122): Cyrillic/Latin letters and
+# hyphen — digits are NOT word chars in the reference's walk
+_WORD_CHARS = "абвгдежзийклмнопрстуфхцчшщъыьэюяё"
+
+
+def _is_word_char(c: str) -> bool:
+    lc = c.lower()
+    return ("a" <= lc <= "z") or (lc in _WORD_CHARS) or c == "-"
+
+
+def _snippet_border(content: str, start: int, radius: int, right: bool) -> int:
+    """One border of a snippet window: walk `radius` words out from
+    `start`, stopping early at a bracket ('<' scanning right, '>'
+    scanning left — never walk into markup). Faithful port of the
+    reference's cursor automaton (SnippetMapper.java:65-93), with one
+    hardening: positions beyond either end read as a space (the Java
+    indexes charAt unguarded and relies on content shape)."""
+    n = len(content)
+    pos = start
+    bracket = "<" if right else ">"
+    step = 1 if right else -1
+
+    def ch(p: int) -> str:
+        return content[p] if 0 <= p < n else " "
+
+    def within(p: int) -> bool:
+        return p < n if right else p > 0
+
+    wc = 0
+    while wc < radius:
+        while not _is_word_char(ch(pos)) and within(pos):
+            if ch(pos) == bracket:
+                pos -= step
+                break
+            pos += step
+        while _is_word_char(ch(pos)) and within(pos):
+            pos += step
+        wc += 1
+        if ch(pos) == bracket:
+            pos -= step
+            break
+    return max(0, min(pos, n))
+
+
+def make_snippet_charwalk(
+    text: str | None, query_lemmas: list[str], radius: int = 3
+) -> str:
+    """Reference-parity snippet mode (SnippetMapper.java:13-142):
+    char-walk ±radius WORDS from each hit with bracket stops, merge
+    overlapping [start,end] intervals to a fixpoint, excerpt the raw
+    content, '... frag ... <...> ...' framing, then <b>-wrap each hit
+    surface at its first occurrence.
+
+    Kept beside the word-window default (make_snippet — the
+    oracle-checked mode). Documented divergences from the Java:
+      * hit surfaces are our tokenizer's lowercase tokens located with
+        str.find, so a capitalized occurrence positions at its first
+        lowercase appearance or is skipped — same skip the reference's
+        indexOf-of-lowercased-word has;
+      * each distinct surface is highlighted once (the reference
+        re-scans duplicates and nests <b> tags around the same span).
+    """
+    if not text:
+        return ""
+    content = text.replace("\n", " ")
+    qset = set(query_lemmas)
+    # wordsFoundOnPage (LemmaMapper.getListOfWordsWithBaseForms):
+    # distinct hit surfaces in first-appearance order
+    found: list[str] = []
+    seen: set[str] = set()
+    for tok in tokenize(content):
+        if tok in seen:
+            continue
+        seen.add(tok)
+        if set(lemmatize_token(tok)) & qset:
+            found.append(tok)
+    # wordPositions (SnippetMapper.java:95-106): first occurrence only
+    positions = [(content.find(w), w) for w in found]
+    positions = [(p, w) for p, w in positions if p != -1]
+    if not positions:
+        return ""
+    intervals = []
+    for pos, w in positions:
+        lo = _snippet_border(content, pos if pos == 0 else pos - 1,
+                             radius, right=False)
+        hi = _snippet_border(content, pos + len(w), radius, right=True)
+        intervals.append((lo, hi))
+    # squashCollisions (SnippetMapper.java:47-63): merge while any
+    # endpoint of one interval falls inside another (inclusive)
+    intervals.sort()
+    merged: list[list[int]] = []
+    for lo, hi in intervals:
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    snippets = " <...> ".join(
+        f"... {content[lo:hi]} ..." for lo, hi in merged
+    )
+    for w in found:
+        at = snippets.find(w)
+        if at != -1:
+            snippets = snippets[:at] + "<b>" + w + "</b>" + snippets[at + len(w):]
+    return snippets

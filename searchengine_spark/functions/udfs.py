@@ -69,13 +69,21 @@ def term_counts_udf(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"terms": terms, "tfs": tfs})
 
 
-def snippet_udf(query_lemmas: list[str], radius: int = 3):
+def snippet_udf(query_lemmas: list[str], radius: int = 3,
+                mode: str = "word"):
     """Snippet pandas UDF specialized to one query (applied post-top-k
-    only, so the closure-captured term list is tiny)."""
+    only, so the closure-captured term list is tiny). mode="word" is
+    the oracle-checked word-window default; mode="charwalk" is the
+    reference-parity char-walk (textproc.make_snippet_charwalk)."""
     qs = list(query_lemmas)
+    fn = (
+        textproc.make_snippet_charwalk
+        if mode == "charwalk"
+        else textproc.make_snippet
+    )
 
     @F.pandas_udf(T.StringType())
     def _snip(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: textproc.make_snippet(t, qs, radius))
+        return text.map(lambda t: fn(t, qs, radius))
 
     return _snip

@@ -33,8 +33,15 @@ try:  # gate: present only when the runtime ships the Iceberg jar
     import py4j  # noqa: F401  (always present with pyspark)
 
     def _has_iceberg(spark: SparkSession) -> bool:
+        # Class.forName raises ClassNotFoundException when the jar is
+        # absent. A bare `spark._jvm.org.apache.iceberg...` attribute
+        # probe does NOT — py4j returns a JavaPackage placeholder for
+        # any dotted name — so it would report Iceberg present in every
+        # sandbox (caught by the gate test, tests/test_iceberg_gate.py)
         try:
-            spark._jvm.org.apache.iceberg.spark.SparkCatalog  # type: ignore[union-attr]
+            spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
             return True
         except Exception:
             return False
