@@ -47,6 +47,7 @@ def main() -> None:
         out = search_packed(
             spark, segments, idx.term_stats, n_docs, avgdl, args.query,
             k=args.k, conjunctive=not args.disjunctive, mode=args.scoring,
+            site=args.site, offset=args.offset, doc_stats=idx.doc_stats,
         )
     else:
         out = search(

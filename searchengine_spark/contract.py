@@ -742,6 +742,11 @@ def q_cube_source_lang(spark, sf_dir):
     " FROM events",
 )
 def q_running_total(spark, sf_dir):
+    # per-USER running window: the partition key is the natural unit
+    # and any one user's history is small. A running total over a
+    # group too large for one reducer (e.g. per-source token offsets)
+    # uses the distributed prefix-sum instead —
+    # operators/sampling.pack_sequences.
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
@@ -765,6 +770,10 @@ def q_running_total(spark, sf_dir):
     " FROM events) WHERE rnk <= 5",
 )
 def q_topk_per_group(spark, sf_dir):
+    # demonstrates the rank-window OPERATOR; when a group is too hot
+    # for one reducer, the bounded per-partition-heap formulation
+    # (operators/sampling.stratified_sample / sketches.kmv_distinct)
+    # computes the same top-n without a window
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         F.desc("value"), F.asc("event_id")

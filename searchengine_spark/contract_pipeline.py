@@ -24,7 +24,7 @@ from .functions.hashing import (
     h32_sql,
     minhash_params,
 )
-from .operators import dedup, multimodal, similarity, textstats
+from .operators import dedup, multimodal, sampling, similarity, textstats
 from .operators.similarity import HP_A, HP_B, HP_MOD, HP_SHIFT
 
 EMB_DIM = 64
@@ -721,6 +721,90 @@ def q_search_snippets(spark, sf_dir):
             "doc_id", "score_e4", "rank",
             snip(F.coalesce(F.col("text"), F.lit(""))).alias("snippet"),
         )
+    )
+
+
+# --- dataset assembly: split / sample / pack ---------------------------------
+# The last mile of a training pipeline (operators/sampling.py): all
+# "randomness" is the shared md5 h32, so every choice is a pure
+# function of the data and the oracle reproduces it exactly.
+
+SPLIT_WEIGHTS = [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+_SPLIT_BOUNDS = sampling.split_thresholds(SPLIT_WEIGHTS)
+_SPLIT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN h < {hi} THEN '{name}'"
+        for name, hi in _SPLIT_BOUNDS[:-1]
+    )
+    + f" ELSE '{_SPLIT_BOUNDS[-1][0]}' END"
+)
+
+_SQL_TRAIN_SPLIT = f"""
+WITH h AS (SELECT doc_id, {h32_sql('doc_id::VARCHAR')} AS h FROM documents)
+SELECT doc_id, {_SPLIT_CASE} AS split FROM h
+"""
+
+
+@_reg("q_train_split", _SQL_TRAIN_SPLIT)
+def q_train_split(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(docs, "doc_id", SPLIT_WEIGHTS)
+
+
+SAMPLE_PER_SOURCE = 5
+
+_SQL_STRATIFIED = f"""
+WITH h AS (SELECT source, doc_id,
+            {h32_sql('doc_id::VARCHAR')} AS h FROM documents),
+r AS (SELECT source, doc_id, h,
+       row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM h)
+SELECT source, doc_id, h FROM r WHERE rn <= {SAMPLE_PER_SOURCE}
+"""
+
+
+@_reg("q_stratified_sample", _SQL_STRATIFIED)
+def q_stratified_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return sampling.stratified_sample(
+        docs, "source", "doc_id", SAMPLE_PER_SOURCE
+    )
+
+
+PACK_BUDGET = 2048
+
+# oracle = the sequential spec (one global running sum — fine on a
+# single DuckDB node); the Spark side computes the identical offsets
+# with a distributed prefix sum (operators/sampling.pack_sequences)
+_SQL_PACK = f"""
+WITH tl AS (SELECT doc_id,
+             len(list_filter(string_split(coalesce(text, ''), ' '),
+                 t -> t <> ''))::BIGINT AS n_tokens
+            FROM documents),
+c AS (SELECT doc_id, n_tokens,
+       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cs
+      FROM tl)
+SELECT doc_id, n_tokens,
+       (cs - n_tokens)::BIGINT AS global_start,
+       ((cs - n_tokens) // {PACK_BUDGET})::BIGINT AS chunk_id
+FROM c
+"""
+
+
+@_reg("q_pack_sequences", _SQL_PACK)
+def q_pack_sequences(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    sized = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return sampling.pack_sequences(
+        sized, "doc_id", "n_tokens", budget=PACK_BUDGET
     )
 
 

@@ -492,3 +492,148 @@ def search_packed(
             else empty_df(spark, "doc_id long, score double")
         )
     return out
+
+
+def search_packed_with_snippets(
+    spark,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    doc_stats: DataFrame,
+    docs_text: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    k: int = 20,
+    offset: int = 0,
+    site: str | None = None,
+    conjunctive: bool = True,
+    mode: str = "bm25",
+    radius: int = 3,
+    snippet_mode: str = "word",
+    df_map: dict | None = None,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """The reference's full search response served from the PACKED
+    index (ApiService.java:82-146 + SnippetMapper): top-k +
+    (url, snippet) per hit → DataFrame(url, doc_id, score, snippet).
+
+    `docs_text` is any frame with (doc_id, text). The ≤ k winners are
+    broadcast into both enrichment joins, so neither the corpus text
+    scan nor doc_stats ever shuffles; the snippet UDF runs on ≤ k rows.
+    snippet_mode: "word" (oracle-checked default) or "charwalk"
+    (reference char-walk parity — functions/textproc.py)."""
+    from ..functions.udfs import snippet_udf
+
+    winners = search_packed(
+        spark, segments, term_stats, n_docs, avgdl, query, k=k,
+        conjunctive=conjunctive, mode=mode, site=site, offset=offset,
+        df_map=df_map, doc_stats=doc_stats, n_shards=n_shards,
+    )
+    snip = snippet_udf(lemmatize_query(query), radius, mode=snippet_mode)
+    enriched = (
+        docs_text.select("doc_id", "text")
+        .join(F.broadcast(winners), "doc_id")
+        .select("doc_id", "score", snip(F.col("text")).alias("snippet"))
+    )
+    return (
+        doc_stats.select("doc_id", "url")
+        .join(F.broadcast(enriched), "doc_id")
+        .select("url", "doc_id", "score", "snippet")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def match_count_packed(
+    spark,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    query: str,
+    conjunctive: bool = True,
+    site: str | None = None,
+    max_rel_freq: float = 0.95,
+    df_map: dict | None = None,
+    doc_stats: DataFrame | None = None,
+    n_shards: int | None = None,
+) -> int:
+    """A5 on the packed path (reference ApiService.java:104-113): the
+    total match count before pagination. Each shard counts its own
+    intersection (conjunctive) or posting union (disjunctive) — ids
+    only, no scoring, no sort — and the driver sums n_shards scalars."""
+    lemmas = lemmatize_query(query)
+    if not lemmas:
+        return 0
+    if df_map is not None:
+        stats = {t: df_map[t] for t in lemmas if t in df_map}
+    else:
+        stats = {
+            r["term"]: r["df"]
+            for r in term_stats.filter(F.col("term").isin(lemmas)).collect()
+        }
+    terms = [
+        t for t in lemmas
+        if t in stats and stats[t] / float(n_docs) <= max_rel_freq
+    ]
+    if not terms:
+        return 0
+    n_terms = len(terms)
+
+    def _count(pdf: pd.DataFrame, allowed: np.ndarray | None) -> pd.DataFrame:
+        if allowed is not None and len(allowed) == 0:
+            return pd.DataFrame({"n_matched": [0]})
+        lists = [
+            _TermList(rows, n_docs, 1.0)
+            for _, rows in pdf.groupby("term", sort=False)
+        ]
+        if not lists:
+            return pd.DataFrame({"n_matched": [0]})
+        if conjunctive:
+            if len(lists) < n_terms:
+                return pd.DataFrame({"n_matched": [0]})
+            lists.sort(key=lambda t: t.n)
+            cand = lists[0].decode_all()[0]
+            if allowed is not None:
+                cand = _intersect_sorted(cand, allowed)
+            for t in lists[1:]:
+                if len(cand) == 0:
+                    break
+                _, present = t.lookup(cand)
+                cand = cand[present]
+        else:
+            cand = np.unique(
+                np.concatenate([t.decode_all()[0] for t in lists])
+            )
+            if allowed is not None:
+                cand = _intersect_sorted(cand, allowed)
+        return pd.DataFrame({"n_matched": [len(cand)]})
+
+    seg = segments.filter(F.col("term").isin(terms))
+    if site is None:
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: _count(pdf, None), schema="n_matched long"
+        )
+    else:
+        if doc_stats is None:
+            raise ValueError("site filter needs doc_stats (doc_id, site)")
+        if n_shards is None:
+            n_shards = int(
+                segments.agg(F.max("shard")).collect()[0][0]
+            ) + 1
+        members = doc_stats.filter(F.col("site") == site).select(
+            "doc_id",
+            F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
+            .alias("shard"),
+        )
+        per_shard = (
+            seg.groupby("shard")
+            .cogroup(members.groupby("shard"))
+            .applyInPandas(
+                lambda s, m: _count(
+                    s,
+                    np.sort(m["doc_id"].to_numpy(dtype=np.int64, copy=True)),
+                ),
+                schema="n_matched long",
+            )
+        )
+    row = per_shard.agg(F.sum("n_matched")).collect()[0][0]
+    return int(row or 0)

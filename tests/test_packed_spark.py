@@ -144,3 +144,53 @@ def test_merge_runs_spark(spark, index, segments, constants):
     merged = merge_runs(segments, n, avgdl, run_id=1)
     assert merged.agg(F.sum("n_docs")).collect()[0][0] == index.postings.count()
     assert merged.select("run_id").distinct().collect()[0][0] == 1
+
+
+def test_packed_full_response_and_match_count(spark, index, segments, constants):
+    """The complete reference response (top-k + url + snippet) and the
+    pre-pagination match count, both served from the packed index and
+    equal to the relational path."""
+    from searchengine_spark.index.wand import (
+        match_count_packed,
+        search_packed_with_snippets,
+    )
+    from searchengine_spark.operators.postings import prepare_docs
+    from searchengine_spark.operators.search import (
+        match_count,
+        search_with_snippets,
+    )
+
+    from searchengine_spark.sources.corpus import corpus_df
+
+    n, avgdl = constants
+    docs_text = prepare_docs(corpus_df(spark, 300), use_html=True).select(
+        "doc_id", "text"
+    )
+    q = "быстрый поиск"
+    got = search_packed_with_snippets(
+        spark, segments, index.term_stats, index.doc_stats, docs_text,
+        n, avgdl, q, k=10,
+    ).collect()
+    want = search_with_snippets(
+        spark, index, docs_text, q, k=10, constants=constants
+    ).collect()
+    assert [(r["doc_id"], r["url"], r["snippet"]) for r in got] == [
+        (r["doc_id"], r["url"], r["snippet"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+    # match counts: packed ≡ relational, with and without site filter
+    assert match_count_packed(
+        spark, segments, index.term_stats, n, q
+    ) == match_count(spark, index, q, constants=constants)
+    assert match_count_packed(
+        spark, segments, index.term_stats, n, "запрос страница",
+        site="site3.example", doc_stats=index.doc_stats, n_shards=4,
+    ) == match_count(
+        spark, index, "запрос страница", site="site3.example",
+        constants=constants,
+    )
+    assert match_count_packed(
+        spark, segments, index.term_stats, n, "nosuchwordxyz"
+    ) == 0

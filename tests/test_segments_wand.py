@@ -118,3 +118,50 @@ def test_merge_runs_last_wins_kernel():
     upd = set(g1["doc_id"].tolist())
     top = set(out.sort_values("score", ascending=False)["doc_id"].tolist()[:5])
     assert top <= upd
+
+
+def _brute_force_filtered(groups, n_docs, avgdl, conjunctive, k, allowed):
+    res = _brute_force(groups, n_docs, avgdl, conjunctive, 10**9)
+    res = [(s, d) for s, d in res if d in allowed]
+    return res[:k]
+
+
+@given(st.integers(0, 10_000), st.booleans(), st.integers(1, 3),
+       st.integers(0, 100))
+@settings(max_examples=60, deadline=None)
+def test_wand_with_doc_filter_equals_filtered_exhaustive(
+    seed, conjunctive, nt, pct
+):
+    """Site-filter soundness (packed path, VERDICT r2 #1): with an
+    `allowed` doc set, the kernel must return exactly the top-k of the
+    exhaustive scorer RESTRICTED to allowed docs — in particular the
+    theta seed may only be taken from allowed docs, or block-max
+    pruning would drop valid candidates."""
+    rng = np.random.RandomState(seed)
+    n_docs, avgdl = 400, 80.0
+    groups = [
+        _mk_group(rng, f"t{i}", int(rng.randint(5, 200)), n_docs)
+        for i in range(nt)
+    ]
+    all_ids = np.unique(np.concatenate([g["doc_id"].to_numpy() for g in groups]))
+    # allowed = pct% of the doc space (incl. the empty set)
+    mask = rng.rand(len(all_ids)) * 100 < pct
+    allowed = np.sort(all_ids[mask]).astype(np.int64)
+    pdf = pd.concat(
+        [_pack_group(g, n_docs, avgdl, 0) for g in groups], ignore_index=True
+    )
+    k = int(rng.randint(1, 30))
+    got = wand_shard_topk(pdf, n_docs, avgdl, k, conjunctive, nt,
+                          allowed=allowed)
+    if conjunctive:
+        got = got[got["n_hit"] == nt]
+    got = sorted(
+        zip(got["score"].tolist(), got["doc_id"].tolist()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = _brute_force_filtered(
+        groups, n_docs, avgdl, conjunctive, k, set(allowed.tolist())
+    )
+    assert [d for _, d in got] == [d for _, d in want]
+    for (gs, _), (ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
