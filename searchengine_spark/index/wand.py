@@ -236,6 +236,8 @@ def _theta_seed(
     single-term score there). With a doc filter (site), only allowed
     docs may seed θ: a disallowed doc's score is NOT a lower bound on
     any final result, and an inflated θ would unsoundly prune."""
+    if allowed is None and shortest.n <= k:
+        return 0.0  # avoid the decode when the seed is provably 0
     ids, scores = shortest.decode_all()
     if allowed is not None:
         pos = np.searchsorted(allowed, ids)

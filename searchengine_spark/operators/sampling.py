@@ -187,8 +187,16 @@ def pack_sequences(
         )
     lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
     width = max(1, -(-(hi - lo + 1) // n_buckets))
+    # exact integer division in DECIMAL(38,0): ids can be
+    # xxhash64-sized, so (sid - lo) overflows int64 when the id range
+    # spans more than 2^63 (ANSI mode raises) and float division would
+    # reintroduce boundary rounding; decimal holds the full range
     bucketed = base.withColumn(
-        "bucket", ((F.col("sid") - lo) / width).cast("long")
+        "bucket",
+        F.expr(
+            f"cast((cast(sid as decimal(38,0)) "
+            f"- cast('{lo}' as decimal(38,0))) div {width} as bigint)"
+        ),
     )
 
     # per-bucket totals → base offsets (B scalars on the driver)

@@ -101,3 +101,25 @@ def test_pack_sequences_empty_and_chunk_semantics(spark):
     assert out[2] == (200, 0)      # starts inside chunk 0 (200 < 256)
     assert out[3] == (300, 1)      # first token at 300 → chunk 1
     assert out[9] == (900, 3)
+
+
+def test_pack_sequences_hash_sized_and_negative_ids(spark):
+    """Bucket assignment must be exact at xxhash64 id magnitudes
+    (integer division, no float boundary wobble) and for negative ids."""
+    rows = [
+        (-(2**62) - 3, 10), (-(2**40), 20), (-1, 30), (0, 40),
+        (2**40 + 7, 50), (2**62 + 11, 60),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = sorted(
+        (r["doc_id"], r["global_start"], r["chunk_id"])
+        for r in sampling.pack_sequences(
+            df, "doc_id", "n_tokens", budget=64, n_buckets=4
+        ).collect()
+    )
+    # sequential spec: ascending doc_id, running offsets
+    offs, want, acc = {}, [], 0
+    for sid, nt in sorted(rows):
+        want.append((sid, acc, acc // 64))
+        acc += nt
+    assert got == want
