@@ -1,0 +1,268 @@
+"""Query-server facade: the reference's `/api/*` surface over a built
+packed index (controllers/ApiController.java:14-46).
+
+A reference deployment serves every request from Spring services over
+warm JPA state; the Spark-first equivalent is one long-lived
+SparkSession holding the hot read state — cached segment/stat frames
+plus the collected term→df dictionary — and serving each request as a
+tiny Spark job over them:
+
+  GET /api/search        → SearchService.search()      (ApiService.java:82-146)
+  GET /api/statistics    → SearchService.statistics()  (StatisticsServiceImpl.java:29-78)
+  POST /api/indexPage    → SearchService.index_page()  (IndexingService.java:71-95)
+  GET /api/start/stopIndexing → operators/ops.py (job-group cancel + manifest resume)
+
+Response dicts mirror the reference DTOs (SearchResponse/SearchItem:
+result, count, data[site, uri, relevance, snippet]; StatisticsResponse:
+total + detailed per site) so a client of the reference can switch with
+a field-for-field mapping. Differences by design: `relevance` is the
+full-precision BM25 double (the reference stringifies a float), and
+`title` is omitted (the packed index stores postings + metadata, not
+page bodies; pass `docs_text` to serve snippets, which is what the
+reference renders).
+
+Scale shape: every search is the packed WAND path (index/wand.py) —
+term-pruned segment scan, per-shard kernels, ≤ shards·(offset+k) row
+merge; statistics is one aggregation over cached doc/term stats; an
+indexPage lands a delta run (append-only) and invalidates only the
+segment cache. At cluster scale the same object runs on a driver
+serving a Spark Connect or Thrift endpoint.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index.refresh import _doc_meta_resolved, recover
+from .index.segments import write_delta_run
+from .index.wand import (
+    match_count_packed,
+    search_packed,
+    search_packed_with_snippets,
+)
+from .operators.postings import prepare_docs_counts, read_index
+from .operators.search import corpus_constants
+
+_DELTA_EPOCH = dt.datetime(2024, 1, 1)
+
+
+class SearchService:
+    """Warm server over `<base>/{idx,segments}` (build_index.py layout).
+
+    `docs_text`: optional (doc_id, text) frame enabling snippet
+    rendering; without it `search(snippets=True)` raises.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        docs_text: DataFrame | None = None,
+        snippet_mode: str = "word",
+    ):
+        recover(base)  # settle any crashed refresh before reading
+        self.spark = spark
+        self.base = base
+        self.docs_text = docs_text
+        self.snippet_mode = snippet_mode
+        self.index = read_index(spark, f"{base}/idx")
+        self.doc_stats = self.index.doc_stats.cache()
+        self.term_stats = self.index.term_stats.cache()
+        self.n_docs, self.avgdl = corpus_constants(self.doc_stats)
+        # hot dictionary: one collect at open, every query served from it
+        self.df_map = {
+            r["term"]: r["df"] for r in self.term_stats.collect()
+        }
+        self._open_segments()
+
+    # -- /api/search ---------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        site: str | None = None,
+        offset: int = 0,
+        limit: int = 20,
+        snippets: bool = False,
+        mode: str = "bm25",
+        conjunctive: bool = True,
+    ) -> dict:
+        """SearchResponse dict: {result, count, data:[{site, uri, url,
+        doc_id, relevance[, snippet]}]}. `count` is the pre-pagination
+        match total (ApiService.java:104-113); `data` is the
+        [offset, offset+limit) slice ranked (score desc, doc_id asc)."""
+        count = match_count_packed(
+            self.spark, self.segments, self.term_stats, self.n_docs,
+            query, conjunctive=conjunctive, site=site, df_map=self.df_map,
+            doc_stats=self.serve_meta, n_shards=self.n_shards,
+        )
+        if snippets:
+            if self.docs_text is None:
+                raise ValueError(
+                    "snippets need docs_text (doc_id, text) at open"
+                )
+            rows = search_packed_with_snippets(
+                self.spark, self.segments, self.term_stats,
+                self.serve_meta, self.docs_text, self.n_docs, self.avgdl,
+                query, k=limit, offset=offset, site=site, mode=mode,
+                conjunctive=conjunctive, snippet_mode=self.snippet_mode,
+                df_map=self.df_map, n_shards=self.n_shards,
+            ).collect()
+        else:
+            hits = search_packed(
+                self.spark, self.segments, self.term_stats, self.n_docs,
+                self.avgdl, query, k=limit, offset=offset, site=site,
+                mode=mode, conjunctive=conjunctive, df_map=self.df_map,
+                doc_stats=self.serve_meta, n_shards=self.n_shards,
+            )
+            rows = (
+                self.serve_meta.select("doc_id", "url")
+                .join(F.broadcast(hits), "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .collect()
+            )
+        data = []
+        for r in rows:
+            url = r["url"]
+            slash = url.find("/", url.find("://") + 3)
+            item = {
+                "site": url[:slash] if slash != -1 else url,
+                "uri": url[slash:] if slash != -1 else "/",
+                "url": url,
+                "doc_id": r["doc_id"],
+                "relevance": r["score"],
+            }
+            if snippets:
+                item["snippet"] = r["snippet"]
+            data.append(item)
+        return {"result": True, "count": count, "data": data}
+
+    # -- /api/statistics -----------------------------------------------------
+
+    def statistics(self) -> dict:
+        """StatisticsResponse dict: corpus-wide totals + per-site page
+        and lemma counts (StatisticsServiceImpl.java:29-78 — pages =
+        countBySite, lemmas = per-site distinct lemma count)."""
+        per_site = (
+            self.index.postings.join(
+                self.doc_stats.select("doc_id", "site"), "doc_id"
+            )
+            .groupBy("site")
+            .agg(
+                F.count_distinct("doc_id").alias("pages"),
+                F.count_distinct("term").alias("lemmas"),
+            )
+            .collect()
+        )
+        detailed = sorted(
+            (
+                {"url": r["site"], "pages": r["pages"], "lemmas": r["lemmas"]}
+                for r in per_site
+            ),
+            key=lambda d: d["url"],
+        )
+        return {
+            "result": True,
+            "statistics": {
+                "total": {
+                    "sites": len(detailed),
+                    "pages": self.n_docs,
+                    "lemmas": len(self.df_map),
+                    "indexing": False,
+                },
+                "detailed": detailed,
+            },
+        }
+
+    # -- /api/indexPage ------------------------------------------------------
+
+    def index_page(self, url: str, html: bytes | str | None = None,
+                   text: str | None = None) -> dict:
+        """Single-page (re)index (IndexingService.java:71-95): land the
+        page as a delta run — visible to queries immediately via
+        last-run-wins merge; stats refresh exactly at the next
+        compaction (scripts/compact.py). Returns IndexingResponse-like
+        {result, doc_id, run_id}."""
+        if html is None and text is None:
+            return {"result": False, "error": "html or text required"}
+        if html is None:
+            html = f"<html><body><p>{text}</p></body></html>"
+        if isinstance(html, str):
+            html = html.encode("utf-8")
+        row_df = self.spark.createDataFrame(
+            [(url, _DELTA_EPOCH, bytearray(html), text, "")],
+            "url string, warc_ts timestamp, html binary, text string,"
+            " lang string",
+        )
+        prepared = prepare_docs_counts(row_df, use_html=True)
+        run_id = self._next_run_id()
+        write_delta_run(
+            self.spark, prepared, self.base, self.term_stats,
+            n_docs=self.n_docs, avgdl=self.avgdl,
+            n_shards=self.n_shards, run_id=run_id,
+        )
+        self._open_segments()  # delta appended → segment cache is stale
+        # the hot dictionary must learn the delta's terms or they prune
+        # as absent; unseen terms get df=1, mirroring the delta run's
+        # stats approximation (segments.delta_segments fillna) — exact
+        # df arrives with the next compaction's stats refresh
+        from .operators.postings import explode_term_counts
+
+        for r in (
+            explode_term_counts(prepared).select("term").distinct().collect()
+        ):
+            self.df_map.setdefault(r["term"], 1)
+        doc_id = prepared.select("doc_id").collect()[0]["doc_id"]
+        return {"result": True, "doc_id": int(doc_id), "run_id": run_id}
+
+    # -- internals -----------------------------------------------------------
+
+    def _open_segments(self) -> None:
+        old = getattr(self, "segments", None)
+        if old is not None:
+            old.unpersist()
+        self.segments = self.spark.read.parquet(
+            f"{self.base}/segments"
+        ).cache()
+        self.segments.count()
+        # serving meta = doc-level last-wins across base doc_stats AND
+        # delta meta runs (minus tombstones) — a delta-landed doc must
+        # resolve its url/site before any compaction runs
+        old_meta = getattr(self, "serve_meta", None)
+        if old_meta is not None:
+            old_meta.unpersist()
+        self.serve_meta = (
+            _doc_meta_resolved(self.spark, self.base)
+            .filter(~F.col("deleted"))
+            .select("doc_id", "url", "site")
+            .cache()
+        )
+        self.serve_meta.count()
+        # shard mapping: the build manifest is authoritative (checked
+        # on resume — index/manifest.py); fall back to the observed
+        # max shard id for indexes built without one
+        from .index.manifest import read_manifest
+
+        rec = (
+            read_manifest(self.spark, self.base)
+            .filter(F.col("stage") == "pack_segments")
+            .select("n_shards").distinct().collect()
+        )
+        if len(rec) == 1:
+            self.n_shards = int(rec[0]["n_shards"])
+        else:
+            self.n_shards = int(
+                self.segments.agg(F.max("shard")).collect()[0][0]
+            ) + 1
+
+    def _next_run_id(self) -> int:
+        top = self.segments.agg(F.max("run_id")).collect()[0][0]
+        return int(top or 0) + 1
+
+    def close(self) -> None:
+        for df in (self.segments, self.doc_stats, self.term_stats,
+                   self.serve_meta):
+            df.unpersist()

@@ -1,0 +1,109 @@
+"""SearchService facade (searchengine_spark/service.py): the
+reference's /api surface — search (+count, site, offset, snippets),
+statistics, and single-page incremental indexing — served warm over a
+built packed index and consistent with the underlying operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.segments import build_segments, write_segments
+from searchengine_spark.operators.postings import (
+    build_index,
+    prepare_docs,
+    write_index,
+)
+from searchengine_spark.operators.search import (
+    corpus_constants,
+    match_count,
+    search,
+)
+from searchengine_spark.service import SearchService
+from searchengine_spark.sources.corpus import corpus_df
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("svc") / "index")
+    docs = corpus_df(spark, N)
+    idx = build_index(docs, use_html=True)
+    write_index(idx, f"{base}/idx")
+    n, avgdl = corpus_constants(idx.doc_stats)
+    segs = build_segments(idx, n, avgdl, n_shards=4)
+    write_segments(segs, f"{base}/segments")
+    docs_text = prepare_docs(docs, use_html=True).select("doc_id", "text")
+    svc = SearchService(spark, base, docs_text=docs_text)
+    yield svc, idx, (n, avgdl)
+    svc.close()
+
+
+def test_search_response_matches_relational(spark, served):
+    svc, idx, constants = served
+    resp = svc.search("быстрый поиск", limit=10)
+    assert resp["result"] is True
+    assert resp["count"] == match_count(
+        spark, idx, "быстрый поиск", constants=constants
+    )
+    want = search(
+        spark, idx, "быстрый поиск", k=10, constants=constants
+    ).collect()
+    assert [d["doc_id"] for d in resp["data"]] == [r["doc_id"] for r in want]
+    assert [d["url"] for d in resp["data"]] == [r["url"] for r in want]
+    for d in resp["data"]:
+        assert d["site"].startswith("https://site")
+        assert d["uri"].startswith("/page")
+
+
+def test_search_site_offset_snippets(spark, served):
+    svc, idx, constants = served
+    full = svc.search("индекс", limit=10)
+    page = svc.search("индекс", offset=5, limit=5)
+    assert [d["doc_id"] for d in page["data"]] == [
+        d["doc_id"] for d in full["data"][5:10]
+    ]
+    assert page["count"] == full["count"]  # count is pre-pagination
+
+    sited = svc.search("запрос страница", site="site3.example")
+    assert all(d["site"] == "https://site3.example" for d in sited["data"])
+
+    snip = svc.search("быстрый поиск", limit=5, snippets=True)
+    assert snip["data"] and all("<b>" in d["snippet"] for d in snip["data"])
+
+    # miss/empty cases return result=True, count=0, empty data
+    for q in ("nosuchwordxyz", "и в на", "data"):
+        r = svc.search(q)
+        assert r == {"result": True, "count": 0, "data": []}
+
+
+def test_statistics_dashboard(spark, served):
+    svc, idx, constants = served
+    n, _ = constants
+    stats = svc.statistics()
+    total = stats["statistics"]["total"]
+    assert total["pages"] == n
+    assert total["lemmas"] == idx.term_stats.count()
+    detailed = stats["statistics"]["detailed"]
+    assert total["sites"] == len(detailed)
+    assert sum(d["pages"] for d in detailed) == n
+    # spot-check one site against the raw tables
+    d0 = detailed[0]
+    want_pages = idx.doc_stats.filter(F.col("site") == d0["url"]).count()
+    assert d0["pages"] == want_pages
+
+
+def test_index_page_visible_immediately(spark, served):
+    svc, idx, constants = served
+    q = "свежедобавленнаястраница"  # OOV → identity lemma
+    assert svc.search(q)["count"] == 0
+    resp = svc.index_page(
+        "https://site0.example/brand-new",
+        text=f"новая страница {q} для сервиса",
+    )
+    assert resp["result"] is True
+    after = svc.search(q)
+    assert after["count"] == 1
+    assert after["data"][0]["url"] == "https://site0.example/brand-new"
+    assert after["data"][0]["doc_id"] == resp["doc_id"]
