@@ -228,26 +228,41 @@ def _intersect_sorted(cand: np.ndarray, allowed: np.ndarray) -> np.ndarray:
     return cand[ok]
 
 
+def _member_mask(ids: np.ndarray, members: np.ndarray) -> np.ndarray:
+    """Boolean mask: which of `ids` appear in sorted unique `members`."""
+    if len(members) == 0 or len(ids) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.searchsorted(members, ids)
+    pos_c = np.minimum(pos, len(members) - 1)
+    return (pos < len(members)) & (members[pos_c] == ids)
+
+
+def _setdiff_sorted(cand: np.ndarray, excluded: np.ndarray) -> np.ndarray:
+    """cand \\ excluded for sorted int64 arrays (keeps cand order)."""
+    if len(cand) == 0 or len(excluded) == 0:
+        return cand
+    return cand[~_member_mask(cand, excluded)]
+
+
 def _theta_seed(
-    shortest: _TermList, k: int, allowed: np.ndarray | None = None
+    shortest: _TermList, k: int, allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
 ) -> float:
     """k-th best exact score of the shortest list — a valid lower
     bound on the final k-th best total (each doc's total ≥ its
-    single-term score there). With a doc filter (site), only allowed
-    docs may seed θ: a disallowed doc's score is NOT a lower bound on
-    any final result, and an inflated θ would unsoundly prune."""
-    if allowed is None and shortest.n <= k:
+    single-term score there). With a doc filter (site allow-list or
+    tombstone deny-list), only SERVABLE docs may seed θ: a filtered-out
+    doc's score is NOT a lower bound on any final result, and an
+    inflated θ would unsoundly prune."""
+    if allowed is None and excluded is None and shortest.n <= k:
         return 0.0  # avoid the decode when the seed is provably 0
     ids, scores = shortest.decode_all()
     if allowed is not None:
-        pos = np.searchsorted(allowed, ids)
-        pos_c = np.minimum(pos, max(len(allowed) - 1, 0))
-        ok = (
-            (pos < len(allowed)) & (allowed[pos_c] == ids)
-            if len(allowed)
-            else np.zeros(len(ids), dtype=bool)
-        )
-        scores = scores[ok]
+        ok = _member_mask(ids, allowed)
+        ids, scores = ids[ok], scores[ok]
+    if excluded is not None and len(ids):
+        keep = ~_member_mask(ids, excluded)
+        scores = scores[keep]
     if len(scores) <= k:
         return 0.0
     return float(np.partition(scores, -k)[-k])
@@ -280,6 +295,7 @@ def _empty_topk(k: int) -> pd.DataFrame:
 def wand_shard_topk(
     pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int, conjunctive: bool,
     n_terms: int, mode: str = "bm25", allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One shard's segments (all query terms) → shard-local top-k.
     mode="legacy" scores sum(tf)/max(tf) (reference A3) — block-max
@@ -290,7 +306,14 @@ def wand_shard_topk(
     shard's members of the site being searched (reference site filter,
     ApiService.java:88-98). Candidates are intersected with it BEFORE
     scoring; corpus statistics stay global (filtered retrieval must not
-    change term weights — same contract as the relational path)."""
+    change term weights — same contract as the relational path).
+
+    `excluded` (sorted unique int64, or None): doc-level deny-list —
+    tombstoned docs whose postings still sit in the packed segments
+    until the next compaction (reference analog: the reindex path's
+    delete-old-postings step, IndexingService.java:152, served without
+    a rebuild). Subtracted from candidates before scoring; θ may only
+    be seeded by servable docs (see _theta_seed)."""
     if allowed is not None and len(allowed) == 0:
         return _empty_topk(k)
     lists = [
@@ -312,6 +335,8 @@ def wand_shard_topk(
         cand = lists[0].decode_all()[0]
         if allowed is not None:
             cand = _intersect_sorted(cand, allowed)
+        if excluded is not None:
+            cand = _setdiff_sorted(cand, excluded)
         for t in lists[1:]:
             if len(cand) == 0:
                 break
@@ -333,7 +358,10 @@ def wand_shard_topk(
     # disjunctive: block-max pruning, then exact scoring of survivors
     # (legacy mode: no sound block bound for sum/max → no pruning)
     shortest = min(lists, key=lambda t: t.n)
-    theta = _theta_seed(shortest, k, allowed) if mode == "bm25" else 0.0
+    theta = (
+        _theta_seed(shortest, k, allowed, excluded)
+        if mode == "bm25" else 0.0
+    )
     gmax_sum = sum(t.gmax for t in lists)
     survivors = []
     for t in lists:
@@ -347,6 +375,8 @@ def wand_shard_topk(
     cand = np.unique(np.concatenate(survivors))
     if allowed is not None:
         cand = _intersect_sorted(cand, allowed)
+    if excluded is not None:
+        cand = _setdiff_sorted(cand, excluded)
     if len(cand) == 0:
         return _empty_topk(k)
     scores = np.zeros(len(cand), dtype=np.float64)
@@ -379,6 +409,7 @@ def search_packed(
     offset: int = 0,
     doc_stats: DataFrame | None = None,
     n_shards: int | None = None,
+    excluded_doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """Top-k over the packed index → DataFrame(doc_id, score).
 
@@ -405,6 +436,14 @@ def search_packed(
     shard returns its top (offset+k), the global heap keeps (offset+k),
     and the offset rows are sliced driver-side, same bounded semantics
     as the relational path (operators.search.MAX_OFFSET).
+
+    `excluded_doc_ids`: small deny-list of doc ids whose postings must
+    not be served — docs tombstoned since the last compaction (a warm
+    server's delete path, reference IndexingService.java:152). Shipped
+    to every kernel in the task closure (it is the set of
+    NOT-yet-compacted deletes, bounded by the compaction cadence, not
+    by corpus size — a corpus-sized filter belongs in `site`/members
+    form instead).
     """
     from ..operators.search import MAX_OFFSET, empty_df
 
@@ -437,10 +476,15 @@ def search_packed(
     k_eff = offset + k
 
     seg = segments.filter(F.col("term").isin(terms))
+    exc = (
+        np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
+        if excluded_doc_ids else None
+    )
     if site is None:
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: wand_shard_topk(pdf, n_docs, avgdl, k_eff,
-                                        conjunctive, n_terms, mode),
+                                        conjunctive, n_terms, mode,
+                                        excluded=exc),
             schema=TOPK_OUT_SCHEMA,
         )
     else:
@@ -469,7 +513,7 @@ def search_packed(
             )
             return wand_shard_topk(seg_pdf, n_docs, avgdl, k_eff,
                                    conjunctive, n_terms, mode,
-                                   allowed=allowed)
+                                   allowed=allowed, excluded=exc)
 
         per_shard = (
             seg.groupby("shard")
@@ -514,6 +558,7 @@ def search_packed_with_snippets(
     snippet_mode: str = "word",
     df_map: dict | None = None,
     n_shards: int | None = None,
+    excluded_doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """The reference's full search response served from the PACKED
     index (ApiService.java:82-146 + SnippetMapper): top-k +
@@ -530,6 +575,7 @@ def search_packed_with_snippets(
         spark, segments, term_stats, n_docs, avgdl, query, k=k,
         conjunctive=conjunctive, mode=mode, site=site, offset=offset,
         df_map=df_map, doc_stats=doc_stats, n_shards=n_shards,
+        excluded_doc_ids=excluded_doc_ids,
     )
     snip = snippet_udf(lemmatize_query(query), radius, mode=snippet_mode)
     enriched = (
@@ -557,11 +603,14 @@ def match_count_packed(
     df_map: dict | None = None,
     doc_stats: DataFrame | None = None,
     n_shards: int | None = None,
+    excluded_doc_ids: list[int] | None = None,
 ) -> int:
     """A5 on the packed path (reference ApiService.java:104-113): the
     total match count before pagination. Each shard counts its own
     intersection (conjunctive) or posting union (disjunctive) — ids
-    only, no scoring, no sort — and the driver sums n_shards scalars."""
+    only, no scoring, no sort — and the driver sums n_shards scalars.
+    `excluded_doc_ids`: tombstoned-but-not-compacted docs, dropped
+    from the count (same deny-list as search_packed)."""
     lemmas = lemmatize_query(query)
     if not lemmas:
         return 0
@@ -580,6 +629,11 @@ def match_count_packed(
         return 0
     n_terms = len(terms)
 
+    exc = (
+        np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
+        if excluded_doc_ids else None
+    )
+
     def _count(pdf: pd.DataFrame, allowed: np.ndarray | None) -> pd.DataFrame:
         if allowed is not None and len(allowed) == 0:
             return pd.DataFrame({"n_matched": [0]})
@@ -596,6 +650,8 @@ def match_count_packed(
             cand = lists[0].decode_all()[0]
             if allowed is not None:
                 cand = _intersect_sorted(cand, allowed)
+            if exc is not None:
+                cand = _setdiff_sorted(cand, exc)
             for t in lists[1:]:
                 if len(cand) == 0:
                     break
@@ -607,6 +663,8 @@ def match_count_packed(
             )
             if allowed is not None:
                 cand = _intersect_sorted(cand, allowed)
+            if exc is not None:
+                cand = _setdiff_sorted(cand, exc)
         return pd.DataFrame({"n_matched": [len(cand)]})
 
     seg = segments.filter(F.col("term").isin(terms))

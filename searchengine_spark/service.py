@@ -10,6 +10,8 @@ tiny Spark job over them:
   GET /api/search        → SearchService.search()      (ApiService.java:82-146)
   GET /api/statistics    → SearchService.statistics()  (StatisticsServiceImpl.java:29-78)
   POST /api/indexPage    → SearchService.index_page()  (IndexingService.java:71-95)
+  delete(url)            → SearchService.delete_page() (delete-old-postings,
+                           IndexingService.java:152, promoted to an endpoint)
   GET /api/start/stopIndexing → operators/ops.py (job-group cancel + manifest resume)
 
 Response dicts mirror the reference DTOs (SearchResponse/SearchItem:
@@ -37,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .index.refresh import _doc_meta_resolved, recover
-from .index.segments import write_delta_run
+from .index.segments import write_delta_run, write_tombstones
 from .index.wand import (
     match_count_packed,
     search_packed,
@@ -98,6 +100,7 @@ class SearchService:
             self.spark, self.segments, self.term_stats, self.n_docs,
             query, conjunctive=conjunctive, site=site, df_map=self.df_map,
             doc_stats=self.serve_meta, n_shards=self.n_shards,
+            excluded_doc_ids=self.tombstoned,
         )
         if snippets:
             if self.docs_text is None:
@@ -110,6 +113,7 @@ class SearchService:
                 query, k=limit, offset=offset, site=site, mode=mode,
                 conjunctive=conjunctive, snippet_mode=self.snippet_mode,
                 df_map=self.df_map, n_shards=self.n_shards,
+                excluded_doc_ids=self.tombstoned,
             ).collect()
         else:
             hits = search_packed(
@@ -117,6 +121,7 @@ class SearchService:
                 self.avgdl, query, k=limit, offset=offset, site=site,
                 mode=mode, conjunctive=conjunctive, df_map=self.df_map,
                 doc_stats=self.serve_meta, n_shards=self.n_shards,
+                excluded_doc_ids=self.tombstoned,
             )
             rows = (
                 self.serve_meta.select("doc_id", "url")
@@ -218,6 +223,30 @@ class SearchService:
         doc_id = prepared.select("doc_id").collect()[0]["doc_id"]
         return {"result": True, "doc_id": int(doc_id), "run_id": run_id}
 
+    def delete_page(self, url: str) -> dict:
+        """Remove a page from serving immediately (reference analog:
+        the reindex path's delete-old-postings step,
+        IndexingService.java:152, exposed as a first-class delete —
+        takedowns/opt-outs). Lands a tombstone meta row
+        (index/segments.write_tombstones); the doc's postings stay
+        packed until the next compaction, so serving consistency comes
+        from the deny-list the packed kernels take: the doc vanishes
+        from hits AND match counts in the same call. Unknown urls
+        no-op with result=False."""
+        from .functions.urlnorm import canonical_url
+
+        doc_id = int(
+            self.spark.createDataFrame([(url,)], "url string")
+            .select(F.xxhash64(canonical_url(F.col("url"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        run_id = self._next_run_id()
+        n = write_tombstones(self.spark, [doc_id], self.base, run_id)
+        if not n:
+            return {"result": False, "error": "url not in index"}
+        self._open_segments()  # refresh serve_meta + deny-list
+        return {"result": True, "doc_id": doc_id, "run_id": run_id}
+
     # -- internals -----------------------------------------------------------
 
     def _open_segments(self) -> None:
@@ -234,13 +263,22 @@ class SearchService:
         old_meta = getattr(self, "serve_meta", None)
         if old_meta is not None:
             old_meta.unpersist()
+        resolved = _doc_meta_resolved(self.spark, self.base)
         self.serve_meta = (
-            _doc_meta_resolved(self.spark, self.base)
-            .filter(~F.col("deleted"))
+            resolved.filter(~F.col("deleted"))
             .select("doc_id", "url", "site")
             .cache()
         )
         self.serve_meta.count()
+        # deny-list: tombstoned docs whose postings are still packed
+        # (deletes since the last compaction — bounded by compaction
+        # cadence, not corpus size; compaction drops them from the
+        # resolved meta entirely, emptying this list)
+        self.tombstoned = [
+            r["doc_id"]
+            for r in resolved.filter(F.col("deleted"))
+            .select("doc_id").collect()
+        ] or None
         # shard mapping: the build manifest is authoritative (checked
         # on resume — index/manifest.py); fall back to the observed
         # max shard id for indexes built without one

@@ -165,3 +165,91 @@ def test_wand_with_doc_filter_equals_filtered_exhaustive(
     assert [d for _, d in got] == [d for _, d in want]
     for (gs, _), (ws, _) in zip(got, want):
         assert gs == pytest.approx(ws, rel=1e-12)
+
+
+@given(st.integers(0, 10_000), st.booleans(), st.integers(1, 3),
+       st.integers(0, 100))
+@settings(max_examples=60, deadline=None)
+def test_wand_with_deny_list_equals_filtered_exhaustive(
+    seed, conjunctive, nt, pct
+):
+    """Tombstone deny-list soundness (serving deletes before
+    compaction): with an `excluded` doc set, the kernel must return
+    exactly the top-k of the exhaustive scorer with those docs REMOVED
+    — in particular the theta seed may not be taken from an excluded
+    doc, or block-max pruning would drop valid candidates ranked just
+    below it."""
+    rng = np.random.RandomState(seed)
+    n_docs, avgdl = 400, 80.0
+    groups = [
+        _mk_group(rng, f"t{i}", int(rng.randint(5, 200)), n_docs)
+        for i in range(nt)
+    ]
+    all_ids = np.unique(
+        np.concatenate([g["doc_id"].to_numpy() for g in groups])
+    )
+    mask = rng.rand(len(all_ids)) * 100 < pct
+    excluded = np.sort(all_ids[mask]).astype(np.int64)
+    pdf = pd.concat(
+        [_pack_group(g, n_docs, avgdl, 0) for g in groups], ignore_index=True
+    )
+    k = int(rng.randint(1, 30))
+    got = wand_shard_topk(pdf, n_docs, avgdl, k, conjunctive, nt,
+                          excluded=excluded)
+    if conjunctive:
+        got = got[got["n_hit"] == nt]
+    got = sorted(
+        zip(got["score"].tolist(), got["doc_id"].tolist()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    denied = set(excluded.tolist())
+    want = _brute_force_filtered(
+        groups, n_docs, avgdl, conjunctive, k,
+        set(all_ids.tolist()) - denied,
+    )
+    assert [d for _, d in got] == [d for _, d in want]
+    for (gs, _), (ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+@given(st.integers(0, 10_000), st.booleans(), st.integers(0, 100),
+       st.integers(0, 100))
+@settings(max_examples=40, deadline=None)
+def test_wand_allow_and_deny_compose(seed, conjunctive, pct_a, pct_e):
+    """allowed ∧ ¬excluded: the two doc filters compose (a site search
+    on a server holding un-compacted deletes)."""
+    rng = np.random.RandomState(seed)
+    n_docs, avgdl = 400, 80.0
+    nt = 2
+    groups = [
+        _mk_group(rng, f"t{i}", int(rng.randint(5, 200)), n_docs)
+        for i in range(nt)
+    ]
+    all_ids = np.unique(
+        np.concatenate([g["doc_id"].to_numpy() for g in groups])
+    )
+    allowed = np.sort(
+        all_ids[rng.rand(len(all_ids)) * 100 < pct_a]
+    ).astype(np.int64)
+    excluded = np.sort(
+        all_ids[rng.rand(len(all_ids)) * 100 < pct_e]
+    ).astype(np.int64)
+    pdf = pd.concat(
+        [_pack_group(g, n_docs, avgdl, 0) for g in groups], ignore_index=True
+    )
+    k = int(rng.randint(1, 30))
+    got = wand_shard_topk(pdf, n_docs, avgdl, k, conjunctive, nt,
+                          allowed=allowed, excluded=excluded)
+    if conjunctive:
+        got = got[got["n_hit"] == nt]
+    got = sorted(
+        zip(got["score"].tolist(), got["doc_id"].tolist()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    servable = set(allowed.tolist()) - set(excluded.tolist())
+    want = _brute_force_filtered(
+        groups, n_docs, avgdl, conjunctive, k, servable
+    )
+    assert [d for _, d in got] == [d for _, d in want]
+    for (gs, _), (ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)

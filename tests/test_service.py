@@ -107,3 +107,33 @@ def test_index_page_visible_immediately(spark, served):
     assert after["count"] == 1
     assert after["data"][0]["url"] == "https://site0.example/brand-new"
     assert after["data"][0]["doc_id"] == resp["doc_id"]
+
+
+def test_delete_page_serving_consistency(spark, served):
+    # tombstoned docs vanish from hits AND pre-pagination counts in the
+    # same call, while their postings stay packed until compaction
+    svc, idx, constants = served
+    q = "быстрый поиск"
+    before = svc.search(q, limit=10)
+    assert before["count"] > 1
+    victim = before["data"][0]
+    resp = svc.delete_page(victim["url"])
+    assert resp["result"] is True and resp["doc_id"] == victim["doc_id"]
+    after = svc.search(q, limit=10)
+    assert after["count"] == before["count"] - 1
+    assert victim["doc_id"] not in [d["doc_id"] for d in after["data"]]
+    # the remaining ranking is the old one minus the victim
+    assert [d["doc_id"] for d in after["data"][:5]] == [
+        d["doc_id"] for d in before["data"][1:6]
+    ]
+    # snippets path honors the same deny-list
+    snip = svc.search(q, limit=10, snippets=True)
+    assert victim["doc_id"] not in [d["doc_id"] for d in snip["data"]]
+    # unknown url no-ops
+    assert svc.delete_page("https://nowhere.example/x")["result"] is False
+    # a delta-landed page (test_index_page...) is deletable too:
+    # tombstone run supersedes its live delta run
+    q2 = "свежедобавленнаястраница"
+    assert svc.search(q2)["count"] == 1
+    assert svc.delete_page("https://site0.example/brand-new")["result"]
+    assert svc.search(q2) == {"result": True, "count": 0, "data": []}
