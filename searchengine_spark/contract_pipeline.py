@@ -518,6 +518,55 @@ def q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+# Gopher-style repetition gate (operators/textstats.repetition_stats):
+# duplicate-bigram fraction, top-token fraction, top-bigram fraction,
+# integer-e4 keep gate — same bigram construction (adjacent-token
+# concat) and operand order on both engines
+_SQL_REPETITION = f"""
+WITH tl AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents),
+b AS (SELECT doc_id, ts, len(ts)::BIGINT AS n,
+        CASE WHEN len(ts) >= 2 THEN
+          list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        ELSE []::VARCHAR[] END AS bg
+      FROM tl WHERE len(ts) > 0),
+s AS (SELECT doc_id, n, len(bg)::BIGINT AS nb,
+        len(list_distinct(bg))::BIGINT AS db
+      FROM b),
+tt AS (SELECT doc_id, max(c)::BIGINT AS top_tok FROM (
+         SELECT doc_id, g, count(*) AS c
+         FROM b, unnest(ts) AS u(g) GROUP BY doc_id, g)
+       GROUP BY doc_id),
+tb AS (SELECT doc_id, max(c)::BIGINT AS top_bg FROM (
+         SELECT doc_id, g, count(*) AS c
+         FROM b, unnest(bg) AS u(g) GROUP BY doc_id, g)
+       GROUP BY doc_id),
+r AS (SELECT s.doc_id, s.n AS n_tokens,
+        CASE WHEN s.nb > 0
+             THEN floor((s.nb - s.db) / s.nb::DOUBLE * 10000.0 + 0.5)::BIGINT
+             ELSE 0 END AS dup_bigram_e4,
+        floor(tt.top_tok::DOUBLE / s.n * 10000.0 + 0.5)::BIGINT
+          AS top_token_e4,
+        CASE WHEN s.nb > 0
+             THEN floor(coalesce(tb.top_bg, 0)::DOUBLE / s.nb::DOUBLE
+                        * 10000.0 + 0.5)::BIGINT
+             ELSE 0 END AS top_bigram_e4
+      FROM s JOIN tt USING (doc_id) LEFT JOIN tb USING (doc_id))
+SELECT doc_id, n_tokens, dup_bigram_e4, top_token_e4, top_bigram_e4,
+       CASE WHEN n_tokens >= {textstats.REP_MIN_TOKENS}
+                 AND dup_bigram_e4 <= {textstats.REP_DUP_BIGRAM_MAX_E4}
+                 AND top_token_e4 <= {textstats.REP_TOP_TOKEN_MAX_E4}
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM r
+"""
+
+
+@_reg("q_repetition_stats", _SQL_REPETITION)
+def q_repetition_stats(spark, sf_dir):
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 # --- multimodal plumbing: deterministic fake-decode featurizer over the
 # utf-8 payload, all-scalar output (e4 fixed-point per component) so the
 # driver canonicalizer can hash it; oracle = exact byte math in SQL

@@ -103,6 +103,103 @@ def quality_score(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+# Gopher-style repetition gate thresholds (Rae et al. 2021, §A1.1 —
+# public paper; integer e4 comparisons so the gate is bit-identical in
+# Spark and the DuckDB oracle, no float boundary)
+REP_MIN_TOKENS = 20
+REP_DUP_BIGRAM_MAX_E4 = 7000   # duplicate-bigram fraction ≤ 0.70
+REP_TOP_TOKEN_MAX_E4 = 1500    # most-frequent-token fraction ≤ 0.15
+
+
+def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, dup_bigram_e4, top_token_e4, top_bigram_e4,
+    keep): Gopher-style repetition filters for training-data curation
+    (Rae et al. 2021 §A1.1: duplicate n-gram fraction, top n-gram
+    fraction) — the quality gate the reference corpus pipeline lacks
+    entirely (closest analog: the POS stop-filter, LemmaService).
+
+      dup_bigram = (n_bigrams - distinct_bigrams) / n_bigrams
+      top_token  = count(most frequent token)  / n_tokens
+      top_bigram = count(most frequent bigram) / n_bigrams
+      keep       = n_tokens ≥ REP_MIN_TOKENS
+                   ∧ dup_bigram_e4 ≤ REP_DUP_BIGRAM_MAX_E4
+                   ∧ top_token_e4 ≤ REP_TOP_TOKEN_MAX_E4   (0/1 long)
+
+    Plan shape: the bigram array and its distinct count are per-row
+    array expressions (no shuffle); the two mode counts (top token /
+    top bigram) are explode → partial-aggregated groupBy(doc_id, gram)
+    → max per doc — map-side combine bounds the shuffle by the
+    DISTINCT grams per doc, and doc_id keys never skew. The O(u·n)
+    shuffle-free alternative (filter-count per distinct token inside
+    the array) degrades quadratically on large docs; this one doesn't.
+    Empty-token docs are dropped (same contract as quality_score)."""
+    toks = _tokens(F.col(text))
+    base = (
+        docs.select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") > 0)
+    )
+    # greatest(·,0): the 0-token rows are filtered above, but the
+    # optimizer may evaluate the projection on pre-filter rows (slice
+    # throws on negative length under ANSI) — clamp instead of relying
+    # on operator order
+    nm1 = F.greatest(F.size("ts") - 1, F.lit(0))
+    # bigrams via aligned slices: [t0..tn-2] zip [t1..tn-1] (1 token →
+    # both slices empty → no bigrams); concat, not concat_ws — inputs
+    # are non-null by construction and the oracle uses `||`
+    bigrams = F.zip_with(
+        F.slice("ts", 1, nm1), F.slice("ts", 2, nm1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # NOT persisted: the result is lazy — the three branches each prune
+    # the scan to (doc_id, text) and re-tokenize; callers running this
+    # repeatedly should cache `docs` themselves
+    arr = base.select("doc_id", "ts", bigrams.alias("bg"))
+    stats = arr.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.size("bg").cast("long").alias("nb"),
+        F.size(F.array_distinct("bg")).cast("long").alias("db"),
+    )
+    top_tok = (
+        arr.select("doc_id", F.explode("ts").alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_tok"))
+    )
+    top_bg = (
+        arr.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bg"))
+    )
+    nb = F.col("nb").cast("double")
+    dup_e4 = F.when(
+        F.col("nb") > 0, e4((F.col("nb") - F.col("db")) / nb)
+    ).otherwise(F.lit(0).cast("long"))
+    top_tok_e4 = e4(F.col("top_tok").cast("double") / F.col("n_tokens"))
+    top_bg_e4 = F.when(
+        F.col("nb") > 0,
+        e4(F.coalesce(F.col("top_bg"), F.lit(0)).cast("double") / nb),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        stats.join(top_tok, "doc_id")
+        .join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            dup_e4.alias("dup_bigram_e4"),
+            top_tok_e4.alias("top_token_e4"),
+            top_bg_e4.alias("top_bigram_e4"),
+        )
+        .withColumn(
+            "keep",
+            F.when(
+                (F.col("n_tokens") >= REP_MIN_TOKENS)
+                & (F.col("dup_bigram_e4") <= REP_DUP_BIGRAM_MAX_E4)
+                & (F.col("top_token_e4") <= REP_TOP_TOKEN_MAX_E4),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, text: str = "text") -> DataFrame:
     """(doc_id, fp): order-sensitive rolling polynomial hash over the
     token stream — fp = fold(tokens, 0, (acc, t) -> (acc·131 +
