@@ -137,6 +137,41 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+# transitive duplicate groups: the LSH pair set closed under
+# connectivity. Oracle = min-label propagation as a recursive CTE
+# (UNION-dedup fixpoint); comp_id = component-min doc_id on both
+# engines, so the outputs match exactly.
+_SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_MINHASH},
+bands AS ({_BAND_SELECTS}),
+bsz AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+bok AS (SELECT bands.* FROM bands JOIN bsz USING (band, key)
+        WHERE bsz.n <= 1000),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id AND ({_NCOMMON}) >= 8
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach AS (
+  SELECT u AS id, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+),
+comp AS (SELECT id, min(lbl)::BIGINT AS comp_id FROM reach GROUP BY id),
+sizes AS (SELECT comp_id, count(*)::BIGINT AS n_members
+          FROM comp GROUP BY comp_id)
+SELECT comp.id AS doc_id, comp.comp_id, sizes.n_members
+FROM comp JOIN sizes USING (comp_id)
+"""
+
+
+@_reg("q_dedup_components", _SQL_DEDUP_COMPONENTS)
+def q_dedup_components(spark, sf_dir):
+    return dedup.minhash_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
 _SQL_SIMHASH = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

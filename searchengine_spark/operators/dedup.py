@@ -292,3 +292,88 @@ def ngram_jaccard_pairs(
             F.floor(jacc * 10000.0 + F.lit(0.5)).cast("long").alias("jacc_e4"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """(id, comp_id): connected components of an undirected graph given
+    as (u, v) edge pairs — turns pairwise near-dup hits into TRANSITIVE
+    duplicate groups (a~b and b~c put a,c in one group even when the
+    a–c pair itself missed the LSH collision). comp_id = min vertex id
+    of the component, so it is deterministic and stable under
+    partitioning.
+
+    Algorithm: iterative min-label propagation (each vertex adopts the
+    smallest label among itself and its neighbors) to fixpoint.
+    Per round: one join + one groupBy — both shuffles keyed by vertex
+    id (hash-spread, no skew), frame size bounded by |V|, lineage cut
+    with localCheckpoint so round R never re-executes rounds < R.
+    Rounds = graph diameter; near-dup graphs are dense clusters with
+    tiny diameters (2-4), so this beats the O(log n)-round
+    large-star/small-star alternation (Kiveris et al. 2014) in
+    practice — that alternation is the drop-in upgrade if a corpus
+    ever shows chain-shaped components deeper than `max_iters`.
+    Raises RuntimeError if not converged (never silently wrong)."""
+    e2 = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .union(
+            edges.select(
+                F.col("v").cast("long").alias("u"),
+                F.col("u").cast("long").alias("v"),
+            )
+        )
+        .distinct()
+    )
+    cur = e2.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(max_iters):
+        nbr = (
+            e2.join(cur, e2["u"] == cur["id"])
+            .select(F.col("v").alias("id"), "lbl")
+            .groupBy("id")
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        stepped = cur.join(nbr, "id", "left").select(
+            "id", "lbl",
+            F.least(
+                F.col("lbl"), F.coalesce("nbr_min", "lbl")
+            ).alias("new"),
+        ).localCheckpoint()
+        n_changed = stepped.filter(F.col("new") < F.col("lbl")).count()
+        cur = stepped.select("id", F.col("new").alias("lbl"))
+        if n_changed == 0:
+            return cur.select("id", F.col("lbl").alias("comp_id"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint in {max_iters} rounds — "
+        "component diameter exceeds max_iters; raise it or switch to "
+        "large-star/small-star"
+    )
+
+
+def minhash_dedup_groups(
+    docs: DataFrame,
+    text: str = "text",
+    min_common: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(doc_id, comp_id, n_members): transitive near-duplicate groups —
+    the MinHash+LSH candidate pairs (minhash_lsh_pairs) closed under
+    connectivity. The curation action is then one deterministic rule:
+    keep comp_id (the smallest doc_id of each group), drop the rest.
+    Only docs that appear in ≥1 near-dup pair are returned (singletons
+    are their own trivial group — materializing |corpus| rows to say so
+    helps nobody at 10^12 docs)."""
+    pairs = minhash_lsh_pairs(docs, text, min_common, max_bucket)
+    comps = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+    )
+    sizes = comps.groupBy("comp_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return comps.join(sizes, "comp_id").select(
+        F.col("id").alias("doc_id"), "comp_id", "n_members"
+    )
