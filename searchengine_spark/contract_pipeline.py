@@ -172,6 +172,33 @@ def q_dedup_components(spark, sf_dir):
     return dedup.minhash_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
+# benchmark decontamination: eval set = deterministic doc_id slice of
+# the documents table (stands in for a held-out benchmark), train =
+# the rest; a train doc is flagged with its count of distinct shared
+# shingles. Shingling is per-row, so filter-then-shingle ≡
+# shingle-then-filter — the oracle shingles once and splits in SQL.
+DECON_EVAL_MOD = 23
+
+_SQL_DECONTAMINATE = f"""
+WITH {_SQL_SHINGLES},
+ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT DISTINCT doc_id, h FROM shh
+       WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+SELECT tr.doc_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (h)
+GROUP BY tr.doc_id
+"""
+
+
+@_reg("q_decontaminate", _SQL_DECONTAMINATE)
+def q_decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0),
+    )
+
+
 _SQL_SIMHASH = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

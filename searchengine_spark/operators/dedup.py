@@ -377,3 +377,39 @@ def minhash_dedup_groups(
     return comps.join(sizes, "comp_id").select(
         F.col("id").alias("doc_id"), "comp_id", "n_members"
     )
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, text: str = "text"
+) -> DataFrame:
+    """(doc_id, n_shared): training docs that share ≥1 word-trigram
+    shingle with the evaluation set, with the count of DISTINCT shared
+    shingles — benchmark decontamination, the hygiene step every
+    pre-training pipeline runs before the reference's indexing ever
+    sees a page (no reference analog; production pipelines use 8-13
+    -grams, same plan with SHINGLE_W swapped).
+
+    Plan shape: the eval side reduces to a distinct shingle-hash set —
+    eval suites are tiny relative to the corpus, so it BROADCASTS into
+    the train-side explode and the corpus never shuffles for the join;
+    the only corpus-sized shuffle is the per-doc distinct/count, keyed
+    by (doc_id, h) then doc_id (hash-spread, no skew). Docs with zero
+    overlap simply don't appear (at 10^12 docs the clean set is the
+    overwhelming majority — materializing 'not contaminated' rows is
+    the anti-pattern)."""
+    sh = F.explode(shingles_col(F.col(text))).alias("s")
+    ev = (
+        eval_docs.select(sh)
+        .select((h32(F.col("s")) % P31).alias("h"))
+        .distinct()
+    )
+    tr = (
+        train.select("doc_id", sh)
+        .select("doc_id", (h32(F.col("s")) % P31).alias("h"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
