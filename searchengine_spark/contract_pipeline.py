@@ -919,6 +919,46 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+# mixture reweighting over the language column: whole copies are a
+# literal CASE, the fractional extra copy compares the salted id hash
+# against the SAME integer bound on both engines (sampling.mixture_params)
+MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 0.5, "es": 0.25, "zh": 1.0}
+
+_MIX_WHOLE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{g}' THEN {sampling.mixture_params(w)[0]}"
+        for g, w in sorted(MIX_WEIGHTS.items())
+    )
+    + " ELSE 0 END"
+)
+_MIX_FBOUND = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{g}' THEN {sampling.mixture_params(w)[1]}"
+        for g, w in sorted(MIX_WEIGHTS.items())
+    )
+    + " ELSE 0 END"
+)
+
+_SQL_MIXTURE = f"""
+WITH m AS (SELECT doc_id, lang,
+            ({_MIX_WHOLE})
+            + (CASE WHEN {h32_sql("doc_id::VARCHAR || '#mix'")}
+                    < ({_MIX_FBOUND}) THEN 1 ELSE 0 END) AS n
+           FROM documents)
+SELECT doc_id, lang, u.copy::BIGINT AS copy
+FROM m, unnest(range(0, n)) AS u(copy)
+WHERE n > 0
+"""
+
+
+@_reg("q_mixture_sample", _SQL_MIXTURE)
+def q_mixture_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.mixture_sample(docs, MIX_WEIGHTS, "lang")
+
+
 # --- public ------------------------------------------------------------------
 
 

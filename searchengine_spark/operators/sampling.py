@@ -230,3 +230,58 @@ def pack_sequences(
         schema="sid long, n_tokens long, global_start long, chunk_id long",
     )
     return out.withColumnRenamed("sid", id_col)
+
+
+def mixture_params(w: float) -> tuple[int, int]:
+    """weight → (whole copies, exclusive h32 bound for the fractional
+    extra copy). Shared with the oracle so both engines compare the
+    hash against the identical integer literal."""
+    whole = int(w)
+    return whole, int((w - whole) * H_SPACE)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, group, copy): deterministic mixture reweighting — the data
+    -mixing step that turns a cleaned corpus into a training mixture
+    (e.g. en×2.5, es×0.25). A doc in group g appears floor(w_g) times,
+    plus one more iff h32(id ∥ '#mix') lands under the fractional
+    remainder's integer bound, giving E[copies] = w_g exactly while
+    every choice stays a pure function of the doc id:
+
+      * epoch-stable and growth-stable (a doc's copy count never
+        changes when other docs arrive) — the property sampleBy /
+        rand()-based resampling lacks;
+      * map-only: weight lookup is a literal CASE over group values,
+        duplication is an in-row sequence explode — NO shuffle at any
+        size; downsampling (w<1) is a pushdown-friendly filter.
+      * '#mix' salt decorrelates the fractional choice from
+        hash_split's h32(id) so split assignment and mixture
+        membership are independent.
+
+    Groups absent from `weights` get weight 0 (dropped) — mixtures are
+    explicit, silence is not a pass-through."""
+    gc = F.col(group_col)
+    whole = F.lit(0)
+    fbound = F.lit(0)
+    for g, w in sorted(weights.items()):
+        wh, fb = mixture_params(w)
+        whole = F.when(gc == g, F.lit(wh)).otherwise(whole)
+        fbound = F.when(gc == g, F.lit(fb)).otherwise(fbound)
+    h = h32(F.concat(F.col(id_col).cast("string"), F.lit("#mix")))
+    n = (whole + F.when(h < fbound, 1).otherwise(0)).alias("n")
+    return (
+        df.select(
+            F.col(id_col), gc.alias(group_col), n,
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            id_col, group_col,
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("copy"),
+        )
+        .withColumn("copy", F.col("copy").cast("long"))
+    )

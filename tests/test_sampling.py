@@ -123,3 +123,49 @@ def test_pack_sequences_hash_sized_and_negative_ids(spark):
         want.append((sid, acc, acc // 64))
         acc += nt
     assert got == want
+
+
+def test_mixture_sample_copies_and_stability(spark):
+    from searchengine_spark.operators.sampling import (
+        mixture_params,
+        mixture_sample,
+    )
+
+    w = {"a": 2.0, "b": 0.0, "c": 2.5}
+    df = spark.createDataFrame(
+        [(i, g) for i in range(1, 41) for g in ("a", "b", "c")],
+        "doc_id long, grp string",
+    )
+    out = mixture_sample(df, w, "grp").collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["grp"], r["doc_id"]), []).append(r["copy"])
+    # b (weight 0) and unknown groups vanish entirely
+    assert not any(g == "b" for g, _ in by)
+    # a: exactly 2 copies each, indices 0..1
+    for (g, d), copies in by.items():
+        if g == "a":
+            assert sorted(copies) == [0, 1]
+        else:
+            assert sorted(copies) in ([0, 1], [0, 1, 2])
+    # c: fractional part ≈ half the docs get a 3rd copy (hash-driven,
+    # deterministic) — and the bound is the shared integer literal
+    n3 = sum(1 for (g, _), cs in by.items() if g == "c" and len(cs) == 3)
+    assert 0 < n3 < 40
+    whole, fb = mixture_params(2.5)
+    assert (whole, fb) == (2, 1 << 31)
+    # growth stability: adding docs never changes existing copy counts
+    df2 = df.union(
+        spark.createDataFrame([(100 + i, "c") for i in range(10)],
+                              "doc_id long, grp string")
+    )
+    out2 = mixture_sample(df2, w, "grp").collect()
+    by2 = {}
+    for r in out2:
+        by2.setdefault((r["grp"], r["doc_id"]), []).append(r["copy"])
+    assert all(sorted(by2[k]) == sorted(v) for k, v in by.items())
+    # dropped groups are absent even when present in input (explicit
+    # mixture contract)
+    assert mixture_sample(df, {"a": 1.0}, "grp").filter(
+        "grp != 'a'"
+    ).count() == 0
