@@ -152,6 +152,7 @@ def main() -> None:
         "q_ann_cosine_topk",
         "q_ann_ivf",
         "q_clean_corpus",
+        "q_training_mixture",
     )
     reg = contract.queries()
     for name in light + heavy:

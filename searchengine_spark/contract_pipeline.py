@@ -51,18 +51,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # token list / shingle / shingle-hash CTEs (1-indexed lists in DuckDB,
 # 0-indexed arrays in Spark — both yield tokens[i..i+2] word trigrams)
-_SQL_SHINGLES = f"""
-tl AS (SELECT doc_id, text,
+
+
+def _sql_shingle_ctes(src: str, p: str = "") -> str:
+    """{p}tl / {p}sh / {p}shh CTE chain over relation `src` — the
+    shingle pipeline parameterized so composites can shingle two
+    disjoint doc subsets (e.g. train vs eval) in one oracle."""
+    return f"""
+{p}tl AS (SELECT doc_id, text,
         list_filter(string_split(text, ' '), t -> t <> '') AS ts
-       FROM documents),
-sh AS (SELECT doc_id,
+       FROM {src}),
+{p}sh AS (SELECT doc_id,
         unnest(CASE WHEN len(ts) >= {dedup.SHINGLE_W}
           THEN list_transform(range(1, len(ts) - 1),
                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
           ELSE [text] END) AS shingle
-       FROM tl),
-shh AS (SELECT doc_id, {h32_sql('shingle')} % {P31} AS h FROM sh)
+       FROM {p}tl),
+{p}shh AS (SELECT doc_id, {h32_sql('shingle')} % {P31} AS h FROM {p}sh)
 """
+
+
+_SQL_SHINGLES = _sql_shingle_ctes("documents")
 
 _MH_COLS = ", ".join(
     f"min((h * {minhash_params(k)[0]} + {minhash_params(k)[1]}) % {P31}) AS mh{k}"
@@ -340,6 +349,161 @@ def q_clean_corpus(spark, sf_dir):
         .filter(F.col("quality_e4") >= 5000)
         .select("doc_id", "quality_e4")
     )
+
+
+# --- flagship composite 2: corpus → training mixture -------------------------
+# The END-TO-END pre-training data pipeline: held-out eval slice carved
+# off → exact dedup → minhash-LSH near-dedup → benchmark
+# decontamination (≥ DECON_MAX_SHARED shared shingles with eval ⇒ drop)
+# → Gopher repetition gate → deterministic train split → language
+# mixture reweighting. Every stage is individually oracle-verified in
+# this module; this entry verifies their composition end-to-end. All
+# "randomness" is the shared md5 h32, so the oracle replays the whole
+# ladder exactly. Registered right after q_clean_corpus (harness-
+# truncation lesson from round 2).
+
+# split / mixture constants — shared by the assembly entries below
+SPLIT_WEIGHTS = [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+_SPLIT_BOUNDS = sampling.split_thresholds(SPLIT_WEIGHTS)
+_SPLIT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN h < {hi} THEN '{name}'"
+        for name, hi in _SPLIT_BOUNDS[:-1]
+    )
+    + f" ELSE '{_SPLIT_BOUNDS[-1][0]}' END"
+)
+
+# mixture reweighting over the language column: whole copies are a
+# literal CASE, the fractional extra copy compares the salted id hash
+# against the SAME integer bound on both engines (sampling.mixture_params)
+MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 0.5, "es": 0.25, "zh": 1.0}
+
+_MIX_WHOLE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{g}' THEN {sampling.mixture_params(w)[0]}"
+        for g, w in sorted(MIX_WEIGHTS.items())
+    )
+    + " ELSE 0 END"
+)
+_MIX_FBOUND = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{g}' THEN {sampling.mixture_params(w)[1]}"
+        for g, w in sorted(MIX_WEIGHTS.items())
+    )
+    + " ELSE 0 END"
+)
+
+DECON_MAX_SHARED = 8  # same bar as the LSH n_common gate
+
+assert _SPLIT_BOUNDS[0][0] == "train"
+_TRAIN_HI = _SPLIT_BOUNDS[0][1]
+
+_SQL_TRAINING_MIXTURE = f"""
+WITH tr AS (SELECT * FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+ev_docs AS (SELECT * FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0),
+{_sql_shingle_ctes('tr')}, {_SQL_MINHASH},
+bands AS ({_BAND_SELECTS}),
+bsz AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+bok AS (SELECT bands.* FROM bands JOIN bsz USING (band, key)
+        WHERE bsz.n <= 1000),
+near_drop AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id AND ({_NCOMMON}) >= 8
+),
+exact_keep AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY md5(text)),
+{_sql_shingle_ctes('ev_docs', 'e')},
+ev AS (SELECT DISTINCT h FROM eshh),
+contam AS (
+  SELECT t.doc_id
+  FROM (SELECT DISTINCT doc_id, h FROM shh) t JOIN ev USING (h)
+  GROUP BY t.doc_id HAVING count(*) >= {DECON_MAX_SHARED}
+),
+rb AS (SELECT doc_id, ts, len(ts)::BIGINT AS n,
+        CASE WHEN len(ts) >= 2 THEN
+          list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+        ELSE []::VARCHAR[] END AS bg
+       FROM tl WHERE len(ts) > 0),
+rs AS (SELECT doc_id, n, len(bg)::BIGINT AS nb,
+        len(list_distinct(bg))::BIGINT AS db FROM rb),
+rtt AS (SELECT doc_id, max(c)::BIGINT AS top_tok FROM (
+          SELECT doc_id, g, count(*) AS c
+          FROM rb, unnest(ts) AS u(g) GROUP BY doc_id, g)
+        GROUP BY doc_id),
+rep_keep AS (
+  SELECT rs.doc_id FROM rs JOIN rtt USING (doc_id)
+  WHERE rs.n >= {textstats.REP_MIN_TOKENS}
+    AND (CASE WHEN rs.nb > 0
+         THEN floor((rs.nb - rs.db) / rs.nb::DOUBLE * 10000.0 + 0.5)::BIGINT
+         ELSE 0 END) <= {textstats.REP_DUP_BIGRAM_MAX_E4}
+    AND floor(rtt.top_tok::DOUBLE / rs.n * 10000.0 + 0.5)::BIGINT
+        <= {textstats.REP_TOP_TOKEN_MAX_E4}
+),
+kept AS (
+  SELECT tr.doc_id, tr.lang FROM tr
+  JOIN exact_keep USING (doc_id)
+  JOIN rep_keep ON rep_keep.doc_id = tr.doc_id
+  WHERE {h32_sql('tr.doc_id::VARCHAR')} < {_TRAIN_HI}
+    AND tr.doc_id NOT IN (SELECT doc_id FROM near_drop)
+    AND tr.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+m AS (SELECT doc_id, lang,
+       ({_MIX_WHOLE})
+       + (CASE WHEN {h32_sql("doc_id::VARCHAR || '#mix'")}
+               < ({_MIX_FBOUND}) THEN 1 ELSE 0 END) AS n
+      FROM kept)
+SELECT doc_id, lang, u.copy::BIGINT AS copy
+FROM m, unnest(range(0, n)) AS u(copy)
+WHERE n > 0
+"""
+
+
+@_reg("q_training_mixture", _SQL_TRAINING_MIXTURE)
+def q_training_mixture(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    train = docs.filter(~is_eval)
+    eval_docs = docs.filter(is_eval)
+    exact_keep = dedup.exact_dedup_groups(train).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    near_drop = (
+        dedup.minhash_lsh_pairs(train)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    contam = (
+        dedup.decontaminate(train, eval_docs)
+        .filter(F.col("n_shared") >= DECON_MAX_SHARED)
+        .select("doc_id")
+    )
+    split_train = (
+        sampling.hash_split(train.select("doc_id"), "doc_id", SPLIT_WEIGHTS)
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    # id-pure gates (split) and the dedup/contamination joins first;
+    # the repetition pass — the expensive tokenize/bigram stage — runs
+    # only over gated survivors (per-row pure, so restricting where it
+    # is computed cannot change the surviving rows; the oracle computes
+    # it train-wide)
+    gated = (
+        train.select("doc_id", "lang", "text")
+        .join(exact_keep, "doc_id")
+        .join(split_train, "doc_id")
+        .join(near_drop, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left_anti")
+    )
+    rep_keep = (
+        textstats.repetition_stats(gated)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    survivors = gated.select("doc_id", "lang").join(rep_keep, "doc_id")
+    return sampling.mixture_sample(survivors, MIX_WEIGHTS, "lang")
 
 
 # --- similarity search -------------------------------------------------------
@@ -839,17 +1003,9 @@ def q_search_snippets(spark, sf_dir):
 # The last mile of a training pipeline (operators/sampling.py): all
 # "randomness" is the shared md5 h32, so every choice is a pure
 # function of the data and the oracle reproduces it exactly.
-
-SPLIT_WEIGHTS = [("train", 0.90), ("val", 0.05), ("test", 0.05)]
-_SPLIT_BOUNDS = sampling.split_thresholds(SPLIT_WEIGHTS)
-_SPLIT_CASE = (
-    "CASE "
-    + " ".join(
-        f"WHEN h < {hi} THEN '{name}'"
-        for name, hi in _SPLIT_BOUNDS[:-1]
-    )
-    + f" ELSE '{_SPLIT_BOUNDS[-1][0]}' END"
-)
+# (SPLIT_WEIGHTS / MIX_WEIGHTS constants are hoisted above the
+# clean-corpus section so the q_training_mixture composite can
+# register early in the dict.)
 
 _SQL_TRAIN_SPLIT = f"""
 WITH h AS (SELECT doc_id, {h32_sql('doc_id::VARCHAR')} AS h FROM documents)
@@ -918,28 +1074,6 @@ def q_pack_sequences(spark, sf_dir):
         sized, "doc_id", "n_tokens", budget=PACK_BUDGET
     )
 
-
-# mixture reweighting over the language column: whole copies are a
-# literal CASE, the fractional extra copy compares the salted id hash
-# against the SAME integer bound on both engines (sampling.mixture_params)
-MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 0.5, "es": 0.25, "zh": 1.0}
-
-_MIX_WHOLE = (
-    "CASE lang "
-    + " ".join(
-        f"WHEN '{g}' THEN {sampling.mixture_params(w)[0]}"
-        for g, w in sorted(MIX_WEIGHTS.items())
-    )
-    + " ELSE 0 END"
-)
-_MIX_FBOUND = (
-    "CASE lang "
-    + " ".join(
-        f"WHEN '{g}' THEN {sampling.mixture_params(w)[1]}"
-        for g, w in sorted(MIX_WEIGHTS.items())
-    )
-    + " ELSE 0 END"
-)
 
 _SQL_MIXTURE = f"""
 WITH m AS (SELECT doc_id, lang,
