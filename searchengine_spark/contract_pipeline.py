@@ -24,7 +24,14 @@ from .functions.hashing import (
     h32_sql,
     minhash_params,
 )
-from .operators import dedup, multimodal, sampling, similarity, textstats
+from .operators import (
+    dedup,
+    multimodal,
+    phrase,
+    sampling,
+    similarity,
+    textstats,
+)
 from .operators.similarity import HP_A, HP_B, HP_MOD, HP_SHIFT
 
 EMB_DIM = 64
@@ -45,6 +52,28 @@ def _reg(name: str, sql: str | None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# per-(session, sf_dir) cache of persisted minhash signatures over the
+# full documents table — four entries consume them (near-dup pairs,
+# duplicate groups, clean-corpus, training-mixture) and the driver
+# sweep runs all four in one session; signature hashing dominates the
+# shingle cost, so compute once and persist. The value keeps a strong
+# reference to the session so id(spark) can never be recycled onto a
+# stale plan.
+_SIG_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    hit = _SIG_CACHE.get(key)
+    if hit is None:
+        df = dedup.minhash_signatures(
+            _t(spark, sf_dir, "documents")
+        ).persist()
+        _SIG_CACHE[key] = (spark, df)
+        return df
+    return hit[1]
 
 
 # --- shared SQL fragments ----------------------------------------------------
@@ -143,7 +172,9 @@ WHERE a.doc_id < b.doc_id AND ({_NCOMMON}) >= 8
 
 @_reg("q_dedup_minhash_lsh", _SQL_MINHASH_LSH)
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), sig=_doc_sigs(spark, sf_dir)
+    )
 
 
 # transitive duplicate groups: the LSH pair set closed under
@@ -178,7 +209,9 @@ FROM comp JOIN sizes USING (comp_id)
 
 @_reg("q_dedup_components", _SQL_DEDUP_COMPONENTS)
 def q_dedup_components(spark, sf_dir):
-    return dedup.minhash_dedup_groups(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_dedup_groups(
+        _t(spark, sf_dir, "documents"), sig=_doc_sigs(spark, sf_dir)
+    )
 
 
 # benchmark decontamination: eval set = deterministic doc_id slice of
@@ -331,7 +364,7 @@ def q_clean_corpus(spark, sf_dir):
         F.col("keep_doc_id").alias("doc_id")
     )
     near_drop = (
-        dedup.minhash_lsh_pairs(docs)
+        dedup.minhash_lsh_pairs(docs, sig=_doc_sigs(spark, sf_dir))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -470,8 +503,13 @@ def q_training_mixture(spark, sf_dir):
     exact_keep = dedup.exact_dedup_groups(train).select(
         F.col("keep_doc_id").alias("doc_id")
     )
+    # signatures are per-row pure, so the train subset's signatures are
+    # the cached full-corpus signatures filtered by the same predicate
+    train_sigs = _doc_sigs(spark, sf_dir).filter(
+        F.col("doc_id") % DECON_EVAL_MOD != 0
+    )
     near_drop = (
-        dedup.minhash_lsh_pairs(train)
+        dedup.minhash_lsh_pairs(train, sig=train_sigs)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -996,6 +1034,61 @@ def q_search_snippets(spark, sf_dir):
             "doc_id", "score_e4", "rank",
             snip(F.coalesce(F.col("text"), F.lit(""))).alias("snippet"),
         )
+    )
+
+
+# --- positional phrase / proximity search (operators/phrase.py) -------------
+# Token-order-aware retrieval the reference cannot express (its TF map
+# discards positions, LemmaMapper.java:15-43). Spark side = the
+# positional-postings shift-and-intersect a distributed index serves
+# with; oracle = the per-row sequential scan spec — different plan,
+# identical rows.
+
+PHRASE = ["part", "filter", "scan"]
+PROX_A, PROX_B, PROX_DIST = "table", "hash", 5
+
+_PHRASE_COND = " AND ".join(
+    f"ts[i + {j}] = '{w}'" for j, w in enumerate(PHRASE)
+)
+_SQL_PHRASE = f"""
+WITH tl AS (SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         t -> t <> '') AS ts
+            FROM documents),
+p AS (SELECT doc_id,
+       len(list_filter(range(1, len(ts) - {len(PHRASE)} + 2),
+           i -> {_PHRASE_COND}))::BIGINT AS phrase_tf
+      FROM tl WHERE len(ts) >= {len(PHRASE)})
+SELECT doc_id, phrase_tf FROM p WHERE phrase_tf > 0
+"""
+
+
+@_reg("q_phrase_match", _SQL_PHRASE)
+def q_phrase_match(spark, sf_dir):
+    return phrase.phrase_match(_t(spark, sf_dir, "documents"), PHRASE)
+
+
+_SQL_PROXIMITY = f"""
+WITH tl AS (SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         t -> t <> '') AS ts
+            FROM documents),
+pp AS (SELECT doc_id,
+        list_filter(range(1, len(ts) + 1), i -> ts[i] = '{PROX_A}') AS pa,
+        list_filter(range(1, len(ts) + 1), i -> ts[i] = '{PROX_B}') AS pb
+       FROM tl),
+d AS (SELECT doc_id,
+       list_min(flatten(list_transform(pa,
+         a -> list_transform(pb, b -> abs(a - b)))))::BIGINT AS min_dist
+      FROM pp WHERE len(pa) > 0 AND len(pb) > 0)
+SELECT doc_id, min_dist FROM d WHERE min_dist <= {PROX_DIST}
+"""
+
+
+@_reg("q_proximity_match", _SQL_PROXIMITY)
+def q_proximity_match(spark, sf_dir):
+    return phrase.proximity_match(
+        _t(spark, sf_dir, "documents"), PROX_A, PROX_B, PROX_DIST
     )
 
 

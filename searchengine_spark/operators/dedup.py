@@ -131,6 +131,7 @@ def minhash_lsh_pairs(
     text: str = "text",
     min_common: int = 8,
     max_bucket: int = 1000,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: (doc_a, doc_b, n_common) where
     n_common = # equal minhash components (of 16; estimates Jaccard as
@@ -138,8 +139,14 @@ def minhash_lsh_pairs(
 
     Self-join is per (band, band-key) bucket; `max_bucket` bounds the
     quadratic blowup of degenerate buckets (see module docstring).
-    """
-    sig = minhash_signatures(docs, text)
+
+    ``sig`` lets callers pass precomputed (ideally persisted)
+    minhash_signatures rows — signature hashing is the dominant cost,
+    and composites that need the pair set more than once (near-dedup +
+    grouping + a clean-corpus gate in one session) should compute it
+    once."""
+    if sig is None:
+        sig = minhash_signatures(docs, text)
     # band key = the LSH_ROWS raw minhash INTS (band, k0..k3) — joining
     # on integers beats building per-band concat strings, and the full
     # signature rides as ONE array column instead of 16 scalar columns
@@ -357,6 +364,7 @@ def minhash_dedup_groups(
     text: str = "text",
     min_common: int = 8,
     max_bucket: int = 1000,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, comp_id, n_members): transitive near-duplicate groups —
     the MinHash+LSH candidate pairs (minhash_lsh_pairs) closed under
@@ -365,7 +373,7 @@ def minhash_dedup_groups(
     Only docs that appear in ≥1 near-dup pair are returned (singletons
     are their own trivial group — materializing |corpus| rows to say so
     helps nobody at 10^12 docs)."""
-    pairs = minhash_lsh_pairs(docs, text, min_common, max_bucket)
+    pairs = minhash_lsh_pairs(docs, text, min_common, max_bucket, sig=sig)
     comps = connected_components(
         pairs.select(
             F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
