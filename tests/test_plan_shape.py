@@ -177,3 +177,26 @@ def test_wand_plan_term_pruned(spark, built):
     plan = _plan(out)
     assert "In(term," in plan, "segment scan not pruned by query terms"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_phrase_plan_filter_below_single_exchange(spark):
+    """Phrase search must filter to the phrase terms BEFORE its one
+    doc_id shuffle — the shuffle carries only those postings, never
+    the corpus token stream."""
+    from searchengine_spark.operators.phrase import phrase_match
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out = phrase_match(docs, ["part", "filter", "scan"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "phrase plan should have exactly one shuffle (doc_id)"
+    )
+    # root-first string: the term filter must sit BELOW the exchange
+    i_ex = plan.find("Exchange hashpartitioning")
+    i_f = plan.find("Filter term")
+    assert i_f > i_ex >= 0, "term IN filter not below the doc_id shuffle"
+    assert "partial_collect_list" in plan, (
+        "position arrays must partial-aggregate map-side"
+    )
