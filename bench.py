@@ -180,7 +180,11 @@ def main() -> None:
         "noise_protocol": (
             f"min-of-{runs} per query (build/pack/heavy min-of-2, "
             "gen_corpus single-pass); heavy pipeline queries run after "
-            "the r1-comparable set"
+            "the r1-comparable set; the dedup/clean/mixture entries "
+            "share the per-session persisted minhash-signature cache "
+            "(contract_pipeline._doc_sigs), so their min-of-N reflects "
+            "a warm pipeline session — signatures are computed once, "
+            "on the first timed pass"
         ),
     }
     # latest two-cluster-size scaling evidence (scripts/scaling.py →
