@@ -116,6 +116,31 @@ def main() -> None:
     df_map = {r["term"]: r["df"] for r in term_stats.collect()}
     n_shards = int(segments.agg(F.max("shard")).collect()[0][0]) + 1
 
+    # ---- positional layer: build + one packed phrase query ----------------
+    from searchengine_spark.index.positional import (
+        build_positional_segments,
+        phrase_search_packed,
+        write_positional_segments,
+    )
+    from searchengine_spark.operators.postings import prepare_docs
+
+    def _pack_pos():
+        prepared = prepare_docs(docs, use_html=True).select(
+            "doc_id", "lemmas"
+        )
+        write_positional_segments(
+            build_positional_segments(prepared, n_shards), f"{tmp}/possegs"
+        )
+
+    queries["pack_positional"] = timed(_pack_pos, n=min(runs, 2))
+    pos_segments = spark.read.parquet(f"{tmp}/possegs").cache()
+    pos_segments.count()
+    queries["phrase_packed"] = timed(
+        lambda: phrase_search_packed(
+            spark, pos_segments, "быстрый поиск"
+        ).collect()
+    )
+
     # ---- query latency: FULL reference query set over the packed index ----
     lat = []
     for qid, qtext, site, offset, limit, mode, conj in QUERIES:
