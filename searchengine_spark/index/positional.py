@@ -203,7 +203,9 @@ def _decode_positions_for(
             i = int(i)
             s = int(val_starts[i] - base)
             e = int(s + counts[i])
-            out[i] = np.cumsum(vals[s:e])
+            # int64: uint64 arithmetic would wrap on the phrase shift
+            # (position 0 − offset) instead of going negative
+            out[i] = np.cumsum(vals[s:e]).astype(np.int64)
     return out
 
 
@@ -251,6 +253,69 @@ def _phrase_kernel(
     return pd.DataFrame(
         {"doc_id": pd.Series(out_ids, dtype="int64"),
          "phrase_tf": pd.Series(out_tfs, dtype="int64")}
+    )
+
+
+def _proximity_kernel(
+    pdf: pd.DataFrame, term_a: str, term_b: str, max_dist: int, block: int
+) -> pd.DataFrame:
+    """One shard's two runs → (doc_id, min_dist ≤ max_dist) rows.
+    Min distance per doc is a sorted-merge (searchsorted against the
+    other term's positions), O((tf_a+tf_b)·log) — no position cross."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "min_dist": pd.Series([], dtype="int64")})
+    runs = {r["term"]: r for _, r in pdf.iterrows()}
+    if term_a not in runs or term_b not in runs:
+        return empty
+    ids = {t: vb.delta_decode_ids(bytes(runs[t]["doc_ids"]))
+           for t in (term_a, term_b)}
+    cand = np.intersect1d(ids[term_a], ids[term_b], assume_unique=True)
+    if len(cand) == 0:
+        return empty
+    pos, idx_of = {}, {}
+    for t in (term_a, term_b):
+        counts = vb.varbyte_decode(bytes(runs[t]["counts"]))
+        want = np.searchsorted(ids[t], cand)
+        idx_of[t] = want
+        pos[t] = _decode_positions_for(
+            runs[t], want, len(ids[t]), counts, block
+        )
+    out_ids, out_d = [], []
+    for j, d in enumerate(cand):
+        pa = pos[term_a][int(idx_of[term_a][j])]
+        pb = pos[term_b][int(idx_of[term_b][j])]
+        k = np.searchsorted(pb, pa)
+        right = np.abs(pb[np.clip(k, 0, len(pb) - 1)] - pa)
+        left = np.abs(pa - pb[np.clip(k - 1, 0, len(pb) - 1)])
+        md = int(min(right.min(), left.min()))
+        if md <= max_dist:
+            out_ids.append(int(d))
+            out_d.append(md)
+    return pd.DataFrame(
+        {"doc_id": pd.Series(out_ids, dtype="int64"),
+         "min_dist": pd.Series(out_d, dtype="int64")}
+    )
+
+
+def proximity_search_packed_terms(
+    spark: SparkSession,
+    pos_segments: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_dist: int,
+    block: int = BLOCK,
+) -> DataFrame:
+    """(doc_id, min_dist): docs where the two lemmas occur within
+    ``max_dist`` tokens, served from the positional runs (same scan
+    pruning + shard cogroup as phrase_search_packed_terms)."""
+    if term_a == term_b:
+        raise ValueError("proximity terms must differ")
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    segs = pos_segments.filter(F.col("term").isin([term_a, term_b]))
+    return segs.groupBy("shard").applyInPandas(
+        lambda pdf: _proximity_kernel(pdf, term_a, term_b, max_dist, block),
+        schema="doc_id long, min_dist long",
     )
 
 

@@ -123,3 +123,114 @@ def test_positions_roundtrip_exact(spark):
         ).collect()
     }
     assert out2 == {3: 2}
+
+
+def test_proximity_packed_equals_scan(spark, prepared, pos_segments):
+    from searchengine_spark.index.positional import (
+        proximity_search_packed_terms,
+    )
+    from searchengine_spark.operators.phrase import proximity_match
+
+    a, b = _pick_phrase(prepared, 2)
+    packed = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_search_packed_terms(
+            spark, pos_segments, a, b, max_dist=6
+        ).collect()
+    }
+    scan = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_match(
+            _lemma_text(prepared), a, b, max_dist=6
+        ).collect()
+    }
+    assert packed, f"({a},{b}) should co-occur somewhere"
+    assert packed == scan
+
+
+def test_proximity_packed_exact(spark):
+    from searchengine_spark.index.positional import (
+        proximity_search_packed_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "x", "x", "b"]),          # dist 3
+            (2, ["b", "x", "x", "x", "x", "a"]),  # dist 5
+            (3, ["a", "only"]),
+        ],
+        "doc_id long, lemmas array<string>",
+    )
+    segs = build_positional_segments(docs, n_shards=2, block=2)
+    out = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_search_packed_terms(
+            spark, segs, "a", "b", max_dist=3, block=2
+        ).collect()
+    }
+    assert out == {1: 3}
+
+
+def test_randomized_vs_python_reference(spark):
+    """200 random docs over a 5-token alphabet, 12 random phrases and
+    4 proximity pairs, all checked against a direct Python reference —
+    one build, broad coverage of codec + kernel edge cases (empty
+    docs, tf-heavy runs, multi-block, position 0 shifts)."""
+    import random
+
+    from searchengine_spark.index.positional import (
+        proximity_search_packed_terms,
+    )
+
+    rng = random.Random(0)
+    alpha = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, [rng.choice(alpha) for _ in range(rng.randrange(0, 30))])
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lemmas array<string>")
+    segs = build_positional_segments(docs, n_shards=3, block=8)
+
+    def py_phrase(phrase):
+        out = {}
+        m = len(phrase)
+        for i, ls in rows:
+            tf = sum(
+                1
+                for s in range(len(ls) - m + 1)
+                if ls[s : s + m] == phrase
+            )
+            if tf:
+                out[i] = tf
+        return out
+
+    def py_prox(a, b, w):
+        out = {}
+        for i, ls in rows:
+            pa = [k for k, t in enumerate(ls) if t == a]
+            pb = [k for k, t in enumerate(ls) if t == b]
+            if pa and pb:
+                md = min(abs(x - y) for x in pa for y in pb)
+                if md <= w:
+                    out[i] = md
+        return out
+
+    for _ in range(12):
+        phrase = [rng.choice(alpha) for _ in range(rng.randrange(1, 5))]
+        got = {
+            r["doc_id"]: r["phrase_tf"]
+            for r in phrase_search_packed_terms(
+                spark, segs, phrase, block=8
+            ).collect()
+        }
+        assert got == py_phrase(phrase), phrase
+    for _ in range(4):
+        a, b = rng.sample(alpha, 2)
+        w = rng.randrange(1, 6)
+        got = {
+            r["doc_id"]: r["min_dist"]
+            for r in proximity_search_packed_terms(
+                spark, segs, a, b, w, block=8
+            ).collect()
+        }
+        assert got == py_prox(a, b, w), (a, b, w)
