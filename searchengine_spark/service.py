@@ -145,6 +145,99 @@ class SearchService:
             data.append(item)
         return {"result": True, "count": count, "data": data}
 
+    # -- /api/phrase (beyond-reference) --------------------------------------
+
+    def phrase(self, query: str, limit: int = 20) -> dict:
+        """Exact-sequence ("quoted") retrieval over the positional
+        packed runs (index/positional.py): {result, count, data:
+        [{site, uri, url, doc_id, phrase_tf}]}, ranked (phrase_tf
+        desc, doc_id asc). `count` is the pre-pagination match total.
+
+        The positional runs are a SNAPSHOT: read from <base>/possegs
+        if present, else built once from `docs_text` on first use.
+        Deletes are honored immediately (tombstone deny-list, same as
+        search); pages indexed after the snapshot appear after
+        refresh_positional()."""
+        from .functions.textproc import tokenize_lemmatize
+        from .index.positional import phrase_search_packed_terms
+
+        phr = tokenize_lemmatize(query)
+        if not phr:
+            return {"result": True, "count": 0, "data": []}
+        self._ensure_positional()
+        hits = phrase_search_packed_terms(
+            self.spark, self.pos_segments, phr
+        )
+        if self.tombstoned:
+            hits = hits.filter(~F.col("doc_id").isin(self.tombstoned))
+        count = hits.count()
+        top = hits.orderBy(
+            F.desc("phrase_tf"), F.asc("doc_id")
+        ).limit(limit)
+        rows = sorted(
+            self.serve_meta.select("doc_id", "url")
+            .join(F.broadcast(top), "doc_id")
+            .collect(),
+            key=lambda r: (-r["phrase_tf"], r["doc_id"]),
+        )
+        data = []
+        for r in rows:
+            url = r["url"]
+            slash = url.find("/", url.find("://") + 3)
+            data.append(
+                {
+                    "site": url[:slash] if slash != -1 else url,
+                    "uri": url[slash:] if slash != -1 else "/",
+                    "url": url,
+                    "doc_id": r["doc_id"],
+                    "phrase_tf": r["phrase_tf"],
+                }
+            )
+        return {"result": True, "count": count, "data": data}
+
+    def refresh_positional(self) -> None:
+        """Rebuild the positional snapshot from docs_text (e.g. after
+        index_page calls) and swap the cache."""
+        old = getattr(self, "pos_segments", None)
+        if old is not None:
+            old.unpersist()
+        self.pos_segments = None
+        self._build_positional()
+        self._ensure_positional()
+
+    def _ensure_positional(self) -> None:
+        if getattr(self, "pos_segments", None) is not None:
+            return
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.parquet(f"{self.base}/possegs")
+        except AnalysisException:
+            self._build_positional()
+            df = self.spark.read.parquet(f"{self.base}/possegs")
+        self.pos_segments = df.cache()
+        self.pos_segments.count()
+
+    def _build_positional(self) -> None:
+        from .functions.udfs import tokenize_lemmatize_udf
+        from .index.positional import (
+            build_positional_segments,
+            write_positional_segments,
+        )
+
+        if self.docs_text is None:
+            raise ValueError(
+                "phrase search needs docs_text at open (to build the "
+                "positional runs) or a prebuilt <base>/possegs"
+            )
+        prepared = self.docs_text.select(
+            "doc_id", tokenize_lemmatize_udf("text").alias("lemmas")
+        )
+        write_positional_segments(
+            build_positional_segments(prepared, self.n_shards),
+            f"{self.base}/possegs",
+        )
+
     # -- /api/statistics -----------------------------------------------------
 
     def statistics(self) -> dict:
@@ -302,5 +395,7 @@ class SearchService:
 
     def close(self) -> None:
         for df in (self.segments, self.doc_stats, self.term_stats,
-                   self.serve_meta):
-            df.unpersist()
+                   self.serve_meta,
+                   getattr(self, "pos_segments", None)):
+            if df is not None:
+                df.unpersist()

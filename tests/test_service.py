@@ -137,3 +137,35 @@ def test_delete_page_serving_consistency(spark, served):
     assert svc.search(q2)["count"] == 1
     assert svc.delete_page("https://site0.example/brand-new")["result"]
     assert svc.search(q2) == {"result": True, "count": 0, "data": []}
+
+
+def test_phrase_endpoint_matches_scan(spark, served):
+    """Beyond-reference /api/phrase: served phrase hits equal the
+    corpus-scan operator over the same lemma stream (minus any docs
+    tombstoned by earlier tests), ranked (phrase_tf desc, doc_id)."""
+    from searchengine_spark.functions.udfs import tokenize_lemmatize_udf
+    from searchengine_spark.operators.phrase import phrase_match
+
+    svc, idx, _ = served
+    lemma_text = svc.docs_text.select(
+        "doc_id",
+        F.concat_ws(" ", tokenize_lemmatize_udf("text")).alias("text"),
+    )
+    phr_row = lemma_text.orderBy(F.size(F.split("text", " ")).desc(),
+                                 "doc_id").first()
+    phrase = phr_row["text"].split(" ")[:2]
+    resp = svc.phrase(" ".join(phrase), limit=1000)
+    assert resp["result"] is True
+    want = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_match(lemma_text, phrase).collect()
+        if not (svc.tombstoned and r["doc_id"] in svc.tombstoned)
+    }
+    got = {d["doc_id"]: d["phrase_tf"] for d in resp["data"]}
+    assert got == want and resp["count"] == len(want)
+    assert want, "picked phrase should match its own doc"
+    tfs = [d["phrase_tf"] for d in resp["data"]]
+    assert tfs == sorted(tfs, reverse=True)
+    assert svc.phrase("", limit=5) == {
+        "result": True, "count": 0, "data": [],
+    }
