@@ -41,6 +41,9 @@ def main() -> None:
                     help="extract text from the html column (default)")
     ap.add_argument("--fail-after-group", type=int, default=None,
                     help="inject a crash (for resume testing)")
+    ap.add_argument("--positional", action="store_true",
+                    help="also build positional runs (<output>/possegs)"
+                         " for phrase/proximity queries")
     args = ap.parse_args()
 
     from searchengine_spark.index.manifest import build_packed_resumable
@@ -66,6 +69,25 @@ def main() -> None:
         n_shards=args.n_shards or None, n_groups=args.n_groups,
         fail_after_group=args.fail_after_group,
     )
+    if args.positional:
+        from searchengine_spark.index.positional import (
+            build_positional_segments,
+            write_positional_segments,
+        )
+        from searchengine_spark.index.segments import n_shards_for
+        from searchengine_spark.operators.postings import prepare_docs
+
+        prepared = prepare_docs(docs, use_html=args.use_html).select(
+            "doc_id", "lemmas"
+        )
+        par = spark.sparkContext.defaultParallelism
+        shards = args.n_shards or n_shards_for(
+            n_docs, min_parallelism=par
+        )
+        write_positional_segments(
+            build_positional_segments(prepared, shards),
+            f"{args.output}/possegs",
+        )
     dt = time.time() - t0
     print(f"built index for {n_docs} docs in {dt:.1f}s "
           f"({n_docs / dt:.1f} docs/sec) at {args.output}")

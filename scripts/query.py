@@ -27,7 +27,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--site", default=None)
-    ap.add_argument("--mode", choices=["packed", "relational"], default="packed")
+    ap.add_argument("--mode", choices=["packed", "relational", "phrase"],
+                    default="packed",
+                    help="phrase = exact-sequence retrieval over "
+                         "<index>/possegs (build_index.py --positional)")
     ap.add_argument("--scoring", choices=["bm25", "legacy"], default="bm25",
                     help="legacy = reference sum(rank)/max(rank)")
     ap.add_argument("--disjunctive", action="store_true")
@@ -42,7 +45,20 @@ def main() -> None:
     idx = read_index(spark, f"{args.index}/idx")
     n_docs, avgdl = corpus_constants(idx.doc_stats)
     t0 = time.time()
-    if args.mode == "packed":
+    if args.mode == "phrase":
+        from pyspark.sql import functions as F
+
+        from searchengine_spark.index.positional import (
+            phrase_search_packed,
+        )
+
+        pos_segments = spark.read.parquet(f"{args.index}/possegs")
+        out = (
+            phrase_search_packed(spark, pos_segments, args.query)
+            .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+            .limit(args.k)
+        )
+    elif args.mode == "packed":
         segments = spark.read.parquet(f"{args.index}/segments")
         out = search_packed(
             spark, segments, idx.term_stats, n_docs, avgdl, args.query,
