@@ -28,6 +28,7 @@ from .operators import (
     dedup,
     multimodal,
     phrase,
+    pii,
     sampling,
     similarity,
     textstats,
@@ -829,6 +830,139 @@ FROM r
 @_reg("q_repetition_stats", _SQL_REPETITION)
 def q_repetition_stats(spark, sf_dir):
     return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# --- PII scrub: the documents table has no PII, so the entry injects a
+# deterministic email/phone/IPv4 tail into 2/3 of the docs (plus a
+# second email into every 5th) IDENTICALLY on both engines, then runs
+# the real operator. Patterns are Java/RE2-common (operators/pii.py) --
+def _pii_aug(docs):
+    did = F.col("doc_id")
+    tail = F.when(
+        did % 3 != 0,
+        F.concat(
+            F.lit(" contact u"), did.cast("string"),
+            F.lit("@example.com or 555-"),
+            ((did % 900) + 100).cast("string"),
+            F.lit("-0199 from 10.0."),
+            (did % 256).cast("string"), F.lit(".7"),
+        ),
+    ).otherwise(F.lit(""))
+    tail2 = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" cc u"), did.cast("string"), F.lit("b@example.org")),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), tail, tail2).alias("text")
+    )
+
+
+_SQL_PII_AUG = """
+aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0 THEN
+              ' contact u' || doc_id::VARCHAR || '@example.com or 555-'
+              || (doc_id % 900 + 100)::VARCHAR || '-0199 from 10.0.'
+              || (doc_id % 256)::VARCHAR || '.7'
+            ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN
+              ' cc u' || doc_id::VARCHAR || 'b@example.org'
+            ELSE '' END AS t
+  FROM documents
+)
+"""
+
+_SQL_PII = f"""
+WITH {_SQL_PII_AUG},
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{pii.PII_EMAIL}', 0))::BIGINT AS n_emails,
+         regexp_replace(t, '{pii.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{pii.PII_IPV4}', 0))::BIGINT AS n_ipv4s,
+         regexp_replace(t1, '{pii.PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ipv4s,
+       len(regexp_extract_all(t2, '{pii.PII_PHONE}', 0))::BIGINT AS n_phones,
+       regexp_replace(t2, '{pii.PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM s2
+"""
+
+
+@_reg("q_pii_scrub", _SQL_PII)
+def q_pii_scrub(spark, sf_dir):
+    return pii.pii_scrub(_pii_aug(_t(spark, sf_dir, "documents")))
+
+
+# --- line-level boilerplate dedup: synthesize multi-line docs (shared
+# header on every even doc, shared footer on every 5th, unique body)
+# identically on both engines, then drop lines present in >= 10
+# distinct docs (dedup.line_dedup) ------------------------------------
+_LD_HEADER = "subscribe to our newsletter"
+_LD_FOOTER = "copyright example corp"
+
+
+def _line_aug(docs):
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 2 == 0, F.lit(_LD_HEADER + "\n")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(did % 5 == 0, F.lit("\n" + _LD_FOOTER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+_SQL_LINE_DEDUP = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN '{_LD_HEADER}' || chr(10)
+              ELSE '' END
+         || text
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_LD_FOOTER}'
+              ELSE '' END AS t
+  FROM documents
+),
+arr AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM aug),
+l AS (
+  SELECT doc_id, unnest(a) AS line, generate_subscripts(a, 1) AS pos
+  FROM arr
+),
+lh AS (
+  SELECT doc_id, pos, line,
+         {h32_sql("line")} % 2147483647 AS h
+  FROM l
+),
+common AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM lh)
+  GROUP BY h HAVING count(*) >= {dedup.LINE_DEDUP_MIN_DOCS}
+)
+SELECT lh.doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped,
+       coalesce(
+         string_agg(CASE WHEN c.h IS NULL THEN lh.line END, chr(10)
+                    ORDER BY lh.pos),
+         '') AS clean_text
+FROM lh LEFT JOIN common c ON c.h = lh.h
+GROUP BY lh.doc_id
+"""
+
+
+@_reg("q_line_dedup", _SQL_LINE_DEDUP)
+def q_line_dedup(spark, sf_dir):
+    return dedup.line_dedup(_line_aug(_t(spark, sf_dir, "documents")))
 
 
 # --- multimodal plumbing: deterministic fake-decode featurizer over the

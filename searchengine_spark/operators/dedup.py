@@ -421,3 +421,74 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+LINE_DEDUP_MIN_DOCS = 10  # a line in ≥ this many distinct docs is boilerplate
+
+
+def line_dedup(
+    docs: DataFrame,
+    text: str = "text",
+    min_docs: int = LINE_DEDUP_MIN_DOCS,
+) -> DataFrame:
+    """(doc_id, n_lines, n_dropped, clean_text): CCNet-style line-level
+    boilerplate removal — drop every line whose exact content appears
+    in ≥ ``min_docs`` DISTINCT documents (nav bars, cookie banners,
+    copyright footers), reassemble the survivors in original order.
+    Paragraph-level dedup is the same plan with a different delimiter.
+    No reference analog (the reference indexes boilerplate along with
+    body text); this is the curation pass that precedes indexing in a
+    production corpus pipeline (CCNet, Wenzek et al. 2020 §4.1 —
+    public paper).
+
+    Plan shape (10^12 docs):
+      * lines posexplode (narrow), line hash = md5-derived h32;
+      * boilerplate set = distinct (doc_id, h) → groupBy(h) count —
+        two hash-spread shuffles keyed by line hash, no skew beyond
+        the boilerplate lines themselves (bounded by the df-cut);
+      * the surviving-frequency frame (lines in ≥ min_docs docs) is
+        TINY by construction — boilerplate repeated across ≥10 docs is
+        a short list at any corpus size — so it BROADCASTS into the
+        line frame and the corpus-sized side never shuffles for the
+        join;
+      * reassembly = one groupBy(doc_id) collect of that doc's own
+        lines (bounded by max doc size, same bound the tokenizer
+        already assumes).
+    Docs whose every line is boilerplate come back with clean_text=''
+    (kept, not dropped — the caller's gate decides)."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line"),
+    ).withColumn("h", h32(F.col("line")) % P31)
+    common = (
+        lines.select("doc_id", "h").distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    flagged = lines.join(
+        F.broadcast(common.withColumn("is_bp", F.lit(1))), "h", "left"
+    )
+    keep_line = F.col("is_bp").isNull()
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(keep_line, 0).otherwise(1)).cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep_line, F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )

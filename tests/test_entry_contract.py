@@ -65,6 +65,38 @@ def test_query_matches_oracle(spark, duck, name):
     assert a == b, f"{name}: value mismatch at {mism}: {[ (a[i], b[i]) for i in mism ]}"
 
 
+def test_registry_priority_order():
+    """queries()/oracle_sql() emit in _PRIORITY order without losing or
+    inventing entries, and every name this round actually has a row slot
+    in the first 50 positions if it is new/reworked (driver sweeps have
+    been observed to truncate at ~50 rows)."""
+    from searchengine_spark import contract
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    # permutation: ordering loses nothing
+    assert sorted(q) == sorted(set(q))
+    assert set(o) <= set(q)
+    # no stale names in the priority list
+    assert set(contract._PRIORITY) <= set(q), (
+        set(contract._PRIORITY) - set(q)
+    )
+    # every registered entry is explicitly placed (forces a conscious
+    # ordering decision when a new operator lands)
+    assert set(q) == set(contract._PRIORITY), (
+        set(q) ^ set(contract._PRIORITY)
+    )
+    head50 = list(q)[:50]
+    for name in [
+        "q_clean_corpus", "q_training_mixture", "q_phrase_match",
+        "q_proximity_match", "q_dedup_components", "q_decontaminate",
+        "q_repetition_stats", "q_train_split", "q_stratified_sample",
+        "q_pack_sequences", "q_mixture_sample", "q_pii_scrub",
+        "q_line_dedup",
+    ]:
+        assert name in head50, f"{name} not in first 50 sweep slots"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
