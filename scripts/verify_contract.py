@@ -17,6 +17,7 @@ import argparse
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -62,11 +63,16 @@ def main() -> None:
     if args.only:
         queries = {n: q for n, q in queries.items() if n in args.only}
     bad = []
-    for name in sorted(queries):
+    times: dict[str, float] = {}
+    # driver order (queries() priority order), not sorted — so this
+    # sweep's cumulative timing mirrors the driver's sweep exactly
+    for name in queries:
+        t0 = time.monotonic()
         sdf = queries[name](spark, args.sf_dir)
         srows, scols = sdf.collect(), sdf.columns
         sql = oracles.get(name)
         if sql is None:
+            times[name] = time.monotonic() - t0
             print(f"{name}: rows-only ({len(srows)} rows)")
             continue
         res = con.sql(sql)
@@ -77,10 +83,15 @@ def main() -> None:
             and _canon([[r[c] for c in scols] for r in srows], scols)
             == _canon(drows, dcols)
         )
-        print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} rows)")
+        times[name] = time.monotonic() - t0
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} "
+              f"({len(srows)} rows, {times[name]:.2f}s)")
         if not ok:
             bad.append(name)
-    print(f"\n{args.sf_dir}: {len(queries) - len(bad)}/{len(queries)} ok")
+    print(f"\n{args.sf_dir}: {len(queries) - len(bad)}/{len(queries)} ok, "
+          f"total {sum(times.values()):.1f}s; slowest: "
+          + ", ".join(f"{n}={t:.1f}s" for n, t in
+                      sorted(times.items(), key=lambda kv: -kv[1])[:8]))
     if bad:
         print("mismatches:", bad)
         raise SystemExit(1)

@@ -54,16 +54,29 @@ def term_counts_udf(text: pd.Series) -> pd.DataFrame:
     cross-partition aggregation (each doc lives in one row), so
     counting here removes the entire exploded-token shuffle AND
     shrinks the Arrow return payload from one element per token to one
-    per distinct term (~15×)."""
-    from collections import Counter
+    per distinct term (~15×).
 
+    Counting uses collections._count_elements (the C kernel behind
+    Counter) on a plain dict — skips Counter's class dispatch, ~10%
+    off the whole tokenize+count path (min-of-5 on 20k corpus docs);
+    falls back to Counter if the private helper ever disappears."""
+    try:
+        from collections import _count_elements as _count
+    except ImportError:  # pragma: no cover - CPython-private fallback
+        from collections import Counter
+
+        def _count(d, it):
+            d.update(Counter(it))
+
+    tl = textproc.tokenize_lemmatize
     terms, tfs = [], []
     for t in text:
         if t is None:
             terms.append([])
             tfs.append([])
             continue
-        c = Counter(textproc.tokenize_lemmatize(t))
+        c: dict = {}
+        _count(c, tl(t))
         terms.append(list(c.keys()))
         tfs.append(list(c.values()))
     return pd.DataFrame({"terms": terms, "tfs": tfs})
