@@ -200,3 +200,33 @@ def test_phrase_plan_filter_below_single_exchange(spark):
     assert "partial_collect_list" in plan, (
         "position arrays must partial-aggregate map-side"
     )
+
+
+def test_pii_scrub_plan_is_map_only(spark):
+    """pii_scrub must be one narrow projection: no Exchange, no Python
+    row UDF — the whole pass stays inside whole-stage codegen."""
+    from searchengine_spark.operators.pii import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], ["doc_id", "text"]
+    )
+    plan = _plan(pii_scrub(docs))
+    assert "Exchange" not in plan, "PII scrub must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "PII scrub must be native expressions, not Python"
+    )
+
+
+def test_line_dedup_plan_broadcasts_boilerplate_set(spark):
+    """The corpus-sized line frame must join the (tiny) boilerplate set
+    via BroadcastHashJoin — the corpus never shuffles for the join."""
+    from searchengine_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"h\nbody {i}") for i in range(30)], ["doc_id", "text"]
+    )
+    plan = _plan(line_dedup(docs, min_docs=10))
+    assert "BroadcastHashJoin" in plan, "boilerplate set not broadcast"
+    # exactly the aggregation shuffles (freq count + reassembly),
+    # never a sort-merge join of two corpus-sized line frames
+    assert "SortMergeJoin" not in plan
