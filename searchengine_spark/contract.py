@@ -1003,7 +1003,7 @@ _PRIORITY = [
     "q_phrase_match", "q_proximity_match",
     "q_dedup_components", "q_decontaminate", "q_repetition_stats",
     "q_train_split", "q_stratified_sample", "q_pack_sequences",
-    "q_mixture_sample", "q_pii_scrub", "q_line_dedup",
+    "q_mixture_sample", "q_pii_scrub", "q_line_dedup", "q_dup_spans",
     "q_ann_ivf", "q_kmv_distinct", "q_topk_rank", "q_search_snippets",
     # core search/index contract
     "q_tf_postings", "q_doc_frequency", "q_doc_stats", "q_pruned_terms",

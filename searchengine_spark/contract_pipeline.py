@@ -965,6 +965,44 @@ def q_line_dedup(spark, sf_dir):
     return dedup.line_dedup(_line_aug(_t(spark, sf_dir, "documents")))
 
 
+# --- exact-substring duplicate spans (Lee et al. 2021 stand-in): the
+# corpus generator plants verbatim full-row duplicates, so the strided
+# 32-char window hash finds real cross-doc spans with no augmentation --
+_SQL_DUP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, text AS t FROM documents
+  WHERE length(text) >= {dedup.SPAN_W}
+),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, length(t) - {dedup.SPAN_W} + 1, {dedup.SPAN_STRIDE}),
+           i -> substr(t, i, {dedup.SPAN_W}))) AS w
+  FROM d
+),
+wh AS (
+  SELECT doc_id, {h32_sql("w")} % 2147483647 AS h FROM w
+),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wh)
+  GROUP BY h HAVING count(*) >= 2
+)
+SELECT wh.doc_id,
+       count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_windows,
+       floor(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 10000.0 + 0.5)::BIGINT AS dup_e4
+FROM wh LEFT JOIN dup ON dup.h = wh.h
+GROUP BY wh.doc_id
+"""
+
+
+@_reg("q_dup_spans", _SQL_DUP_SPANS)
+def q_dup_spans(spark, sf_dir):
+    return dedup.duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
 # --- multimodal plumbing: deterministic fake-decode featurizer over the
 # utf-8 payload, all-scalar output (e4 fixed-point per component) so the
 # driver canonicalizer can hash it; oracle = exact byte math in SQL

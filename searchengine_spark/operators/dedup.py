@@ -492,3 +492,74 @@ def line_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+SPAN_W = 32   # char window length
+SPAN_STRIDE = 8
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text: str = "text",
+    window: int = SPAN_W,
+    stride: int = SPAN_STRIDE,
+) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_e4): exact-substring
+    duplication audit — slide a ``window``-char window at ``stride``
+    over each doc, hash every window, and count per doc how many of its
+    windows appear verbatim in ≥2 DISTINCT documents. dup_e4 =
+    n_dup/n_windows ×10⁴ fixed-point. The strided-window hash is the
+    scalable stand-in for suffix-array exact-substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — public paper): a cross-doc repeated span of length ≥
+    window+stride always contains a duplicated window, so dup_e4 upper-
+    bounds undetected long-span duplication. Docs shorter than
+    ``window`` have no windows and emit no row.
+
+    Plan shape (10^12 docs):
+      * window enumeration is a narrow per-row transform+explode
+        (≈ len/stride rows per doc, no data movement);
+      * the duplicated-span set = distinct (doc_id, h) → groupBy(h)
+        HAVING ≥2 — hash-spread shuffles. Unlike line_dedup's
+        boilerplate set this set is NOT provably tiny (every pairwise
+        copied span lands in it), so the join back is a plain shuffle
+        join on h, never a broadcast;
+      * final per-doc rollup groups by doc_id (no skew).
+    """
+    # short docs are filtered out, AND the sequence bound is clamped to
+    # 1: Spark's sequence(1, 0, +8) raises on inverted bounds, and the
+    # optimizer may evaluate the projection on pre-filter rows (same
+    # hazard as repetition_stats' slice clamp) — clamped rows are
+    # dropped by the filter either way
+    wins = docs.filter(F.length(F.col(text)) >= window).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text}) - {window} + 1, 1), {stride}),"
+                f" i -> substring({text}, i, {window}))"
+            )
+        ).alias("w"),
+    ).select("doc_id", (h32(F.col("w")) % P31).alias("h"))
+    dup = (
+        wins.select("doc_id", "h").distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        wins.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_dup_windows"),
+        )
+    )
+    dup_e4 = F.floor(
+        F.col("n_dup_windows").cast("double")
+        / F.col("n_windows") * 10000.0 + F.lit(0.5)
+    ).cast("long")
+    return per_doc.select(
+        "doc_id", "n_windows", "n_dup_windows", dup_e4.alias("dup_e4")
+    )

@@ -92,7 +92,7 @@ def test_registry_priority_order():
         "q_proximity_match", "q_dedup_components", "q_decontaminate",
         "q_repetition_stats", "q_train_split", "q_stratified_sample",
         "q_pack_sequences", "q_mixture_sample", "q_pii_scrub",
-        "q_line_dedup",
+        "q_line_dedup", "q_dup_spans",
     ]:
         assert name in head50, f"{name} not in first 50 sweep slots"
 
