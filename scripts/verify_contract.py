@@ -63,18 +63,21 @@ def main() -> None:
     if args.only:
         queries = {n: q for n, q in queries.items() if n in args.only}
     bad = []
-    times: dict[str, float] = {}
+    times: dict[str, float] = {}       # Spark side only
+    otimes: dict[str, float] = {}      # DuckDB oracle + canonicalize
     # driver order (queries() priority order), not sorted — so this
     # sweep's cumulative timing mirrors the driver's sweep exactly
     for name in queries:
         t0 = time.monotonic()
         sdf = queries[name](spark, args.sf_dir)
         srows, scols = sdf.collect(), sdf.columns
+        times[name] = time.monotonic() - t0
         sql = oracles.get(name)
         if sql is None:
-            times[name] = time.monotonic() - t0
-            print(f"{name}: rows-only ({len(srows)} rows)")
+            print(f"{name}: rows-only ({len(srows)} rows, "
+                  f"{times[name]:.2f}s)")
             continue
+        t0 = time.monotonic()
         res = con.sql(sql)
         drows, dcols = res.fetchall(), list(res.columns)
         ok = (
@@ -83,13 +86,15 @@ def main() -> None:
             and _canon([[r[c] for c in scols] for r in srows], scols)
             == _canon(drows, dcols)
         )
-        times[name] = time.monotonic() - t0
+        otimes[name] = time.monotonic() - t0
         print(f"{name}: {'OK' if ok else 'MISMATCH'} "
-              f"({len(srows)} rows, {times[name]:.2f}s)")
+              f"({len(srows)} rows, spark {times[name]:.2f}s, "
+              f"oracle {otimes[name]:.2f}s)")
         if not ok:
             bad.append(name)
     print(f"\n{args.sf_dir}: {len(queries) - len(bad)}/{len(queries)} ok, "
-          f"total {sum(times.values()):.1f}s; slowest: "
+          f"spark total {sum(times.values()):.1f}s, "
+          f"oracle total {sum(otimes.values()):.1f}s; slowest spark: "
           + ", ".join(f"{n}={t:.1f}s" for n, t in
                       sorted(times.items(), key=lambda kv: -kv[1])[:8]))
     if bad:

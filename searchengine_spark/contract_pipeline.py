@@ -940,7 +940,7 @@ l AS (
 ),
 lh AS (
   SELECT doc_id, pos, line,
-         {h32_sql("line")} % 2147483647 AS h
+         {h32_sql("line")} % {P31} AS h
   FROM l
 ),
 common AS (
@@ -976,25 +976,35 @@ WITH d AS (
 w AS (
   SELECT doc_id,
          unnest(list_transform(
-           generate_series(1, length(t) - {dedup.SPAN_W} + 1, {dedup.SPAN_STRIDE}),
+           generate_series(1, length(t) - {dedup.SPAN_W} + 1, 1),
            i -> substr(t, i, {dedup.SPAN_W}))) AS w
   FROM d
 ),
 wh AS (
-  SELECT doc_id, {h32_sql("w")} % 2147483647 AS h FROM w
+  SELECT doc_id, h FROM (
+    SELECT doc_id, {h32_sql("w")} % {P31} AS h FROM w
+  ) WHERE h % {dedup.SPAN_STRIDE} = 0
 ),
 dup AS (
   SELECT h FROM (SELECT DISTINCT doc_id, h FROM wh)
   GROUP BY h HAVING count(*) >= 2
+),
+pd AS (
+  SELECT wh.doc_id,
+         count(*)::BIGINT AS n_windows,
+         sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_dup_windows
+  FROM wh LEFT JOIN dup ON dup.h = wh.h
+  GROUP BY wh.doc_id
 )
-SELECT wh.doc_id,
-       count(*)::BIGINT AS n_windows,
-       sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         AS n_dup_windows,
-       floor(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-             / count(*) * 10000.0 + 0.5)::BIGINT AS dup_e4
-FROM wh LEFT JOIN dup ON dup.h = wh.h
-GROUP BY wh.doc_id
+SELECT d.doc_id,
+       coalesce(pd.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(pd.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       CASE WHEN coalesce(pd.n_windows, 0) > 0
+            THEN floor(pd.n_dup_windows::DOUBLE / pd.n_windows
+                       * 10000.0 + 0.5)::BIGINT
+            ELSE 0 END AS dup_e4
+FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
 
 

@@ -453,7 +453,12 @@ def line_dedup(
         join;
       * reassembly = one groupBy(doc_id) collect of that doc's own
         lines (bounded by max doc size, same bound the tokenizer
-        already assumes).
+        already assumes);
+      * the hashed line frame feeds two branches (frequency set, join
+        side) and is recomputed per branch: re-scanning the pruned
+        (doc_id, text) columns twice usually beats persisting a
+        corpus-sized line frame — persist upstream (the _doc_sigs
+        pattern) if cluster storage allows.
     Docs whose every line is boilerplate come back with clean_text=''
     (kept, not dropped — the caller's gate decides)."""
     lines = docs.select(
@@ -505,20 +510,34 @@ def duplicate_spans(
     stride: int = SPAN_STRIDE,
 ) -> DataFrame:
     """(doc_id, n_windows, n_dup_windows, dup_e4): exact-substring
-    duplication audit — slide a ``window``-char window at ``stride``
-    over each doc, hash every window, and count per doc how many of its
-    windows appear verbatim in ≥2 DISTINCT documents. dup_e4 =
-    n_dup/n_windows ×10⁴ fixed-point. The strided-window hash is the
+    duplication audit — hash the ``window``-char substring at EVERY
+    offset, keep the windows whose hash ≡ 0 (mod ``stride``)
+    (content-defined selection, the winnowing/CDC anchor trick), and
+    count per doc how many kept windows appear verbatim in ≥2 DISTINCT
+    documents. dup_e4 = n_dup/n_windows ×10⁴ fixed-point. This is the
     scalable stand-in for suffix-array exact-substring dedup (Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models
-    Better" — public paper): a cross-doc repeated span of length ≥
-    window+stride always contains a duplicated window, so dup_e4 upper-
-    bounds undetected long-span duplication. Docs shorter than
-    ``window`` have no windows and emit no row.
+    Better" — public paper).
+
+    Selection is a function of window CONTENT only, so two verbatim
+    copies of a span keep exactly the same windows regardless of where
+    each copy starts — misaligned copies are detected, which fixed-
+    offset striding misses ~(stride−1)/stride of the time. A shared
+    span of length L (on independent-hash assumptions) goes undetected
+    with probability ≈ (1−1/stride)^(L−window+1) — e.g. ≈ 0.19 % for a
+    shared 80-char span at the defaults. Expected kept windows per doc
+    ≈ len/stride, the same output scale as fixed striding. Docs
+    shorter than ``window`` emit no row; docs whose every window hash
+    misses the anchor emit n_windows=0 with dup_e4=0.
 
     Plan shape (10^12 docs):
-      * window enumeration is a narrow per-row transform+explode
-        (≈ len/stride rows per doc, no data movement);
+      * window enumeration+hash is a narrow per-row transform+explode
+        (len−window+1 hashes per doc, ≈ len/stride surviving rows; no
+        data movement). The hashed frame feeds two branches (frequency
+        count, join-back) and is recomputed per branch — at corpus
+        scale re-scanning the pruned (doc_id, text) columns twice
+        usually beats persisting a corpus-sized hashed frame; persist
+        upstream (the _doc_sigs pattern) if cluster storage allows;
       * the duplicated-span set = distinct (doc_id, h) → groupBy(h)
         HAVING ≥2 — hash-spread shuffles. Unlike line_dedup's
         boilerplate set this set is NOT provably tiny (every pairwise
@@ -527,19 +546,27 @@ def duplicate_spans(
       * final per-doc rollup groups by doc_id (no skew).
     """
     # short docs are filtered out, AND the sequence bound is clamped to
-    # 1: Spark's sequence(1, 0, +8) raises on inverted bounds, and the
+    # 1: Spark's sequence(1, 0, +1) raises on inverted bounds, and the
     # optimizer may evaluate the projection on pre-filter rows (same
     # hazard as repetition_stats' slice clamp) — clamped rows are
     # dropped by the filter either way
-    wins = docs.filter(F.length(F.col(text)) >= window).select(
+    all_h = docs.filter(F.length(F.col(text)) >= window).select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length({text}) - {window} + 1, 1), {stride}),"
+                f"transform(sequence(1, greatest(length({text}) - {window} + 1, 1), 1),"
                 f" i -> substring({text}, i, {window}))"
             )
         ).alias("w"),
     ).select("doc_id", (h32(F.col("w")) % P31).alias("h"))
+    wins = all_h.filter(F.col("h") % stride == 0)
+    # a >=window-char doc may keep zero windows (every hash misses the
+    # anchor) — those docs must still emit a row, from the pre-filter
+    # doc list
+    base = (
+        docs.filter(F.length(F.col(text)) >= window)
+        .select("doc_id").distinct()
+    )
     dup = (
         wins.select("doc_id", "h").distinct()
         .groupBy("h")
@@ -556,10 +583,23 @@ def duplicate_spans(
             .cast("long").alias("n_dup_windows"),
         )
     )
-    dup_e4 = F.floor(
-        F.col("n_dup_windows").cast("double")
-        / F.col("n_windows") * 10000.0 + F.lit(0.5)
-    ).cast("long")
+    per_doc = (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long")
+            .alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    dup_e4 = F.when(
+        F.col("n_windows") > 0,
+        F.floor(
+            F.col("n_dup_windows").cast("double")
+            / F.col("n_windows") * 10000.0 + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     return per_doc.select(
         "doc_id", "n_windows", "n_dup_windows", dup_e4.alias("dup_e4")
     )

@@ -72,17 +72,16 @@ def test_registry_priority_order():
     been observed to truncate at ~50 rows)."""
     from searchengine_spark import contract
 
+    from searchengine_spark import contract_pipeline
+
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    # permutation: ordering loses nothing
-    assert sorted(q) == sorted(set(q))
+    # permutation vs the RAW registries: _ordered() loses nothing
+    raw = set(contract._REG) | set(contract_pipeline._REG)
+    assert set(q) == raw, set(q) ^ raw
     assert set(o) <= set(q)
-    # no stale names in the priority list
-    assert set(contract._PRIORITY) <= set(q), (
-        set(contract._PRIORITY) - set(q)
-    )
     # every registered entry is explicitly placed (forces a conscious
-    # ordering decision when a new operator lands)
+    # ordering decision when a new operator lands), and no stale names
     assert set(q) == set(contract._PRIORITY), (
         set(q) ^ set(contract._PRIORITY)
     )
