@@ -44,6 +44,78 @@ def pctl(xs, q):
     return xs[i]
 
 
+# ---- host-phase calibration probe (VERDICT r3 #1) ----------------------
+# This VM shows sustained host-level degradation episodes (identical
+# JVM startup: 15 s good phase vs 846 s bad; single-pass timings move
+# 2-4x uniformly across unchanged code). Each bench run therefore
+# self-reports its phase with two fixed-work kernels, timed min-of-3:
+#   cpu_md5: 200 MB through Python hashlib.md5 (single-core CPU +
+#            memory bandwidth; no Spark, no disk)
+#   jvm_sum: sum(range(0, 2*10^8)) inside Spark whole-stage codegen
+#            (JVM + scheduler + multicore)
+# Reference values are the best idle-box measurements recorded on this
+# hardware (see BASELINE.md "Host phase calibration"); a probe is IN
+# BAND when within PROBE_BAND x the reference. If the start probe is
+# out of band the harness waits (bounded) for the phase to pass, and
+# if the phase degrades mid-run (end probe out of band) the build/pack
+# stages are re-measured once after the wait protocol so the headline
+# docs/sec number is attributable to an in-band phase whenever the
+# phase recovers within the wait budget.
+PROBE_REF_CPU_MD5 = 0.36   # sec, idle-box best (min-of-3)
+PROBE_REF_JVM_SUM = 0.35   # sec, idle-box best (min-of-3), local[32]
+PROBE_BAND = 2.0
+PROBE_WAIT_TRIES = 6       # bounded wait: 6 probes x 60 s
+PROBE_WAIT_SEC = 60
+
+
+def _probe_cpu_md5() -> float:
+    import hashlib
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        b = b"x" * 1_000_000
+        h = hashlib.md5()
+        for _ in range(200):
+            h.update(b)
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def _probe_jvm_sum(spark) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        spark.range(0, 200_000_000).groupBy().sum("id").collect()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def run_probe(spark) -> dict:
+    cpu = _probe_cpu_md5()
+    jvm = _probe_jvm_sum(spark)
+    return {
+        "cpu_md5_sec": round(cpu, 4),
+        "jvm_sum_sec": round(jvm, 4),
+        "in_band": bool(
+            cpu <= PROBE_BAND * PROBE_REF_CPU_MD5
+            and jvm <= PROBE_BAND * PROBE_REF_JVM_SUM
+        ),
+    }
+
+
+def wait_for_in_band(spark) -> tuple[dict, int]:
+    """Probe; if out of band, re-probe up to PROBE_WAIT_TRIES times at
+    PROBE_WAIT_SEC intervals. Returns (last probe, attempts used)."""
+    p = run_probe(spark)
+    tries = 0
+    while not p["in_band"] and tries < PROBE_WAIT_TRIES:
+        time.sleep(PROBE_WAIT_SEC)
+        tries += 1
+        p = run_probe(spark)
+    return p, tries
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -92,6 +164,10 @@ def main() -> None:
         yield from it
 
     spark.range(0, cpus * 4, 1, cpus).mapInPandas(_ident, "id long").count()
+
+    # phase calibration: self-report the host phase in-band/out-of-band
+    # and (bounded) wait out a degraded phase before timing anything
+    probe_start, start_tries = wait_for_in_band(spark)
 
     t0 = time.monotonic()
     write_corpus(spark, n_web, corpus_path)
@@ -199,6 +275,21 @@ def main() -> None:
         n = runs if name in light else min(runs, 2)
         queries[name] = timed(lambda: fn(spark, sf_dir).collect(), n=n)
 
+    # end-of-run probe; if either probe was out of band, wait for the
+    # phase to pass and re-measure the headline build/pack stages once
+    # so BENCH reports an in-band docs/sec whenever possible
+    probe_end = run_probe(spark)
+    retry_tries = 0
+    build_remeasured = False
+    if not (probe_start["in_band"] and probe_end["in_band"]):
+        probe_end, retry_tries = wait_for_in_band(spark)
+        if probe_end["in_band"]:
+            t_build = min(t_build, timed(_build, n=1))
+            t_pack = min(t_pack, timed(_pack, n=1))
+            queries["build_index"] = t_build
+            queries["pack_segments"] = t_pack
+            build_remeasured = True
+
     total = time.monotonic() - t_total0
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -212,6 +303,18 @@ def main() -> None:
         "web_docs": n_web,
         "build_docs_per_sec": round(n_web / t_build, 1),
         "pack_docs_per_sec": round(n_web / t_pack, 1),
+        "phase_probe": {
+            "ref": {
+                "cpu_md5_sec": PROBE_REF_CPU_MD5,
+                "jvm_sum_sec": PROBE_REF_JVM_SUM,
+                "band": PROBE_BAND,
+            },
+            "start": probe_start,
+            "start_wait_tries": start_tries,
+            "end": probe_end,
+            "end_wait_tries": retry_tries,
+            "build_remeasured_in_band": build_remeasured,
+        },
         "query_p50_sec": round(pctl(lat, 0.50), 4),
         "query_p95_sec": round(pctl(lat, 0.95), 4),
         "noise_protocol": (
@@ -222,7 +325,10 @@ def main() -> None:
             "share the per-session persisted minhash-signature cache "
             "(contract_pipeline._doc_sigs), so their min-of-N reflects "
             "a warm pipeline session — signatures are computed once, "
-            "on the first timed pass"
+            "on the first timed pass; phase_probe self-reports the "
+            "host phase (fixed-work CPU + JVM kernels vs idle-box "
+            "reference) with a bounded wait-then-remeasure protocol "
+            "for the headline build/pack stages"
         ),
     }
     # latest two-cluster-size scaling evidence (scripts/scaling.py →

@@ -17,11 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.hashing import (
+    CHAR_BASE,
+    CHAR_MOD,
     LSH_BANDS,
     LSH_ROWS,
     NUM_MINHASH,
     P31,
     h32_sql,
+    h60_sql,
     minhash_params,
 )
 from .operators import (
@@ -940,7 +943,7 @@ l AS (
 ),
 lh AS (
   SELECT doc_id, pos, line,
-         {h32_sql("line")} % {P31} AS h
+         {h60_sql("line")} AS h
   FROM l
 ),
 common AS (
@@ -966,8 +969,11 @@ def q_line_dedup(spark, sf_dir):
 
 
 # --- exact-substring duplicate spans (Lee et al. 2021 stand-in): the
-# corpus generator plants verbatim full-row duplicates, so the strided
-# 32-char window hash finds real cross-doc spans with no augmentation --
+# corpus generator plants verbatim full-row duplicates, so the
+# content-defined 32-char window hash finds real cross-doc spans with
+# no augmentation. The window hash is the character-level polynomial
+# fold — the SAME recurrence the engine's vectorized numpy kernel
+# evaluates (dedup.duplicate_spans), exact in BIGINT (CHAR_MOD < 2^42)
 _SQL_DUP_SPANS = f"""
 WITH d AS (
   SELECT doc_id, text AS t FROM documents
@@ -982,7 +988,13 @@ w AS (
 ),
 wh AS (
   SELECT doc_id, h FROM (
-    SELECT doc_id, {h32_sql("w")} % {P31} AS h FROM w
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(generate_series(1, {dedup.SPAN_W}),
+                 k -> unicode(substr(w, k, 1))::BIGINT)),
+             (acc, c) -> (acc * {CHAR_BASE} + c) % {CHAR_MOD}) AS h
+    FROM w
   ) WHERE h % {dedup.SPAN_STRIDE} = 0
 ),
 dup AS (

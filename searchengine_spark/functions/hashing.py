@@ -48,3 +48,30 @@ def h32(col: Column) -> Column:
 def h32_sql(expr: str) -> str:
     """Same hash as DuckDB SQL text."""
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def h60(col: Column) -> Column:
+    """First 60 bits of md5(col) as BIGINT — Spark side. Used where a
+    32-bit keyspace would birthday-collide at corpus scale (boilerplate
+    line sets: ~2^31 keys collide around 10^5 distinct lines, silently
+    dropping unrelated content). 15 hex digits = 60 bits keeps the
+    value exact in a signed 64-bit integer on both engines.
+    Oracle equivalent: h60_sql."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """Same 60-bit hash as DuckDB SQL text."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# Character-level polynomial rolling hash (duplicate_spans): the
+# window hash is fold(chars, 0, (acc, c) -> (acc·CHAR_BASE +
+# codepoint(c)) % CHAR_MOD) — computable incrementally in O(len) per
+# doc (vs md5 at every offset: O(window·len) bytes hashed).
+# CHAR_MOD is the largest prime < 2^42: the vectorized numpy kernel
+# accumulates acc + code·pw in uint64 (code < 0x110000 ≈ 2^20.1, pw <
+# CHAR_MOD ⇒ products < 2^62.2), and the oracle's BIGINT fold computes
+# acc·131 + c < 2^49 — both exact.
+CHAR_BASE = 131  # same base as textstats.FP_BASE's token fold
+CHAR_MOD = 4_398_046_511_093

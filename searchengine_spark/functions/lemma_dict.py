@@ -91,7 +91,39 @@ def build_dictionary() -> dict[str, list[tuple[str, str]]]:
     return d
 
 
-LEMMA_DICT: dict[str, list[tuple[str, str]]] = build_dictionary()
+def load_dictionary_file(path: str) -> dict[str, list[tuple[str, str]]]:
+    """Load a morphology table: TSV lines ``surface<TAB>lemma<TAB>pos``
+    (one candidate per line; repeated surfaces = multi-lemma
+    expansion; '#' comments and blank lines ignored), preserving file
+    order per surface.
+
+    This is the PRODUCTION swap-in for the shipped test dictionary:
+    export a real morphology table (e.g. a RussianLuceneMorphology
+    dump — the reference's source, mapper/LemmaMapper.java:19) to this
+    format and point SEARCHENGINE_LEMMA_DICT at it. On a real cluster
+    also set spark.executorEnv.SEARCHENGINE_LEMMA_DICT (and ship the
+    file via --files); in local mode workers inherit the driver env.
+    Everything derived — the fused engine kernel (textproc), the
+    pure-Python oracle (tests/oracle.py) and the generated oracle SQL
+    (contract_pipeline) — rebuilds from the loaded table at import, so
+    engine/oracle byte-identity is preserved under any dictionary."""
+    d: dict[str, list[tuple[str, str]]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            surface, lemma, pos = line.split("\t")
+            d.setdefault(surface, []).append((lemma, pos))
+    return d
+
+
+import os as _os  # noqa: E402
+
+_DICT_PATH = _os.environ.get("SEARCHENGINE_LEMMA_DICT")
+LEMMA_DICT: dict[str, list[tuple[str, str]]] = (
+    load_dictionary_file(_DICT_PATH) if _DICT_PATH else build_dictionary()
+)
 
 # All stop surfaces (every lemma candidate has a stop POS) — useful for
 # building test corpora with known stopword-heavy skew.

@@ -48,6 +48,7 @@ POSITIONAL_SEGMENTS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("shard", T.IntegerType(), False),
+        T.StructField("run_id", T.IntegerType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("counts", T.BinaryType(), False),
@@ -81,9 +82,11 @@ def _positional_lists_udf(lemmas: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"terms": terms_out, "poss": poss_out})
 
 
-def _pack_pos_group(pdf: pd.DataFrame, block: int) -> pd.DataFrame:
+def _pack_pos_group(pdf: pd.DataFrame, block: int, run_id: int) -> pd.DataFrame:
     """One (term, shard) group of (doc_id, positions) → one packed
-    positional run."""
+    positional run tagged with ``run_id`` (0 = base build / compacted;
+    delta runs carry the run id write_delta_run allocated — the same
+    lifecycle contract as segments.py)."""
     term = pdf["term"].iloc[0]
     shard = int(pdf["shard"].iloc[0])
     order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
@@ -122,6 +125,7 @@ def _pack_pos_group(pdf: pd.DataFrame, block: int) -> pd.DataFrame:
             {
                 "term": term,
                 "shard": shard,
+                "run_id": int(run_id),
                 "n_docs": n,
                 "doc_ids": vb.delta_encode_ids(doc_ids),
                 "counts": vb.varbyte_encode(counts),
@@ -137,8 +141,12 @@ def build_positional_segments(
     prepared: DataFrame,
     n_shards: int,
     block: int = BLOCK,
+    run_id: int = 0,
 ) -> DataFrame:
-    """prepared docs (doc_id, lemmas) → positional segment runs."""
+    """prepared docs (doc_id, lemmas) → positional segment runs.
+    ``run_id`` > 0 builds a DELTA run (single-page reindex — the same
+    append/last-run-wins/compaction contract segments.py gives the TF
+    layer; reference analog IndexingService.java:71-95)."""
     flat = (
         prepared.select(
             "doc_id", _positional_lists_udf("lemmas").alias("pc")
@@ -157,7 +165,7 @@ def build_positional_segments(
         )
     )
     return flat.groupBy("term", "shard").applyInPandas(
-        lambda pdf: _pack_pos_group(pdf, block),
+        lambda pdf: _pack_pos_group(pdf, block, run_id),
         schema=POSITIONAL_SEGMENTS_SCHEMA,
     )
 
@@ -174,6 +182,87 @@ def write_positional_segments(
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)
+    )
+
+
+UNPACKED_POS_SCHEMA = (
+    "term string, shard int, doc_id long, positions array<int>, run_id int"
+)
+
+
+def unpack_positional(segments: DataFrame) -> DataFrame:
+    """Packed positional runs → relational (term, shard, doc_id,
+    positions, run_id). Pure map over segment rows (no grouping, no
+    shuffle) — the compaction input, mirroring refresh.unpack_postings.
+    Pre-lifecycle snapshots without a run_id column read as run 0."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            has_rid = "run_id" in pdf.columns
+            for _, row in pdf.iterrows():
+                ids = vb.delta_decode_ids(bytes(row["doc_ids"]))
+                counts = vb.varbyte_decode(
+                    bytes(row["counts"])
+                ).astype(np.int64)
+                gaps = vb.varbyte_decode(bytes(row["positions"]))
+                plists, s = [], 0
+                for c in counts:
+                    c = int(c)
+                    plists.append(
+                        np.cumsum(gaps[s : s + c]).astype(np.int32)
+                    )
+                    s += c
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "term": row["term"],
+                            "shard": int(row["shard"]),
+                            "doc_id": ids,
+                            "positions": plists,
+                            "run_id": int(row["run_id"]) if has_rid else 0,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cols = [
+        c
+        for c in ("term", "shard", "run_id", "doc_ids", "counts", "positions")
+        if c in segments.columns
+    ]
+    return segments.select(*cols).mapInPandas(run, schema=UNPACKED_POS_SCHEMA)
+
+
+def current_positional(pos_segments: DataFrame, live: DataFrame) -> DataFrame:
+    """Doc-level last-run-wins view of the positional runs, keyed on
+    the META-authoritative run (`live` = _doc_meta_resolved filtered to
+    living docs) — the exact mirror of refresh.current_postings, same
+    rationale (a re-landed doc's stale positions must drop even for
+    terms its new version lacks; orphaned runs stay inert). A doc
+    whose meta run has no positional delta (page landed while the
+    positional layer was inactive) drops from the PHRASE index only —
+    rebuild via service.refresh_positional() to recover it."""
+    unpacked = unpack_positional(pos_segments).dropDuplicates(
+        ["term", "shard", "doc_id", "run_id"]
+    )
+    keep = live.select("doc_id", F.col("mrun").alias("keep_run"))
+    return (
+        unpacked.join(keep, "doc_id")
+        .filter(F.col("run_id") == F.col("keep_run"))
+        .drop("keep_run")
+    )
+
+
+def repack_positional(
+    cur: DataFrame, block: int = BLOCK, run_id: int = 0
+) -> DataFrame:
+    """current_positional output → single-run packed segments (the
+    positional half of refresh_and_repack)."""
+    return cur.groupBy("term", "shard").applyInPandas(
+        lambda pdf: _pack_pos_group(pdf, block, run_id),
+        schema=POSITIONAL_SEGMENTS_SCHEMA,
     )
 
 
@@ -209,6 +298,68 @@ def _decode_positions_for(
     return out
 
 
+class _PosList:
+    """One term's positional runs within one shard — doc-level
+    last-run-wins across delta runs (upsert semantics, mirroring
+    wand._TermList's eager multi-run merge; rows without a run_id
+    column — pre-lifecycle snapshots — read as one run 0), position
+    bytes decoded lazily per block and only from each doc's OWNING
+    run."""
+
+    __slots__ = ("ids", "_runs", "_owner_run", "_owner_idx", "_block")
+
+    def __init__(self, rows: pd.DataFrame, block: int):
+        self._block = block
+        if "run_id" in rows.columns:
+            rows = rows.sort_values("run_id")
+        self._runs = []
+        for _, row in rows.iterrows():
+            ids = vb.delta_decode_ids(bytes(row["doc_ids"]))
+            counts = vb.varbyte_decode(bytes(row["counts"]))
+            self._runs.append((row, ids, counts))
+        if len(self._runs) == 1:
+            self.ids = self._runs[0][1]
+            self._owner_run = None
+            self._owner_idx = None
+            return
+        all_ids = np.concatenate([r[1] for r in self._runs])
+        run_no = np.concatenate(
+            [np.full(len(r[1]), i, dtype=np.int64)
+             for i, r in enumerate(self._runs)]
+        )
+        idx_in_run = np.concatenate(
+            [np.arange(len(r[1]), dtype=np.int64) for r in self._runs]
+        )
+        order = np.lexsort((run_no, all_ids))
+        all_ids = all_ids[order]
+        run_no, idx_in_run = run_no[order], idx_in_run[order]
+        keep = np.ones(len(all_ids), dtype=bool)
+        keep[:-1] = all_ids[1:] != all_ids[:-1]  # keep last (highest run)
+        self.ids = all_ids[keep]
+        self._owner_run = run_no[keep]
+        self._owner_idx = idx_in_run[keep]
+
+    def positions_for(self, want: np.ndarray) -> dict[int, np.ndarray]:
+        """want = indices into self.ids → {want index: positions}."""
+        if self._owner_run is None:
+            row, ids, counts = self._runs[0]
+            return _decode_positions_for(
+                row, want, len(ids), counts, self._block
+            )
+        out: dict[int, np.ndarray] = {}
+        owners = self._owner_run[want]
+        for rn in np.unique(owners):
+            sel = want[owners == rn]
+            row, ids, counts = self._runs[int(rn)]
+            ridx = self._owner_idx[sel]
+            dec = _decode_positions_for(
+                row, ridx, len(ids), counts, self._block
+            )
+            for w, oi in zip(sel, ridx):
+                out[int(w)] = dec[int(oi)]
+        return out
+
+
 def _phrase_kernel(
     pdf: pd.DataFrame, phrase: list[str], block: int
 ) -> pd.DataFrame:
@@ -216,11 +367,14 @@ def _phrase_kernel(
     (doc_id, phrase_tf) rows."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "phrase_tf": pd.Series([], dtype="int64")})
-    runs = {r["term"]: r for _, r in pdf.iterrows()}
+    lists = {
+        t: _PosList(rows, block)
+        for t, rows in pdf.groupby("term", sort=False)
+    }
     uniq = sorted(set(phrase))
-    if any(t not in runs for t in uniq):
+    if any(t not in lists for t in uniq):
         return empty
-    ids = {t: vb.delta_decode_ids(bytes(runs[t]["doc_ids"])) for t in uniq}
+    ids = {t: lists[t].ids for t in uniq}
     # rarest-first docID intersection — position bytes untouched so far
     cand = None
     for t in sorted(uniq, key=lambda t: len(ids[t])):
@@ -233,12 +387,9 @@ def _phrase_kernel(
     pos: dict[str, dict[int, np.ndarray]] = {}
     idx_of: dict[str, np.ndarray] = {}
     for t in uniq:
-        counts = vb.varbyte_decode(bytes(runs[t]["counts"]))
         want = np.searchsorted(ids[t], cand)
         idx_of[t] = want
-        pos[t] = _decode_positions_for(
-            runs[t], want, len(ids[t]), counts, block
-        )
+        pos[t] = lists[t].positions_for(want)
     out_ids, out_tfs = [], []
     for j, d in enumerate(cand):
         starts = pos[phrase[0]][int(idx_of[phrase[0]][j])]
@@ -264,22 +415,21 @@ def _proximity_kernel(
     other term's positions), O((tf_a+tf_b)·log) — no position cross."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "min_dist": pd.Series([], dtype="int64")})
-    runs = {r["term"]: r for _, r in pdf.iterrows()}
-    if term_a not in runs or term_b not in runs:
+    lists = {
+        t: _PosList(rows, block)
+        for t, rows in pdf.groupby("term", sort=False)
+    }
+    if term_a not in lists or term_b not in lists:
         return empty
-    ids = {t: vb.delta_decode_ids(bytes(runs[t]["doc_ids"]))
-           for t in (term_a, term_b)}
+    ids = {t: lists[t].ids for t in (term_a, term_b)}
     cand = np.intersect1d(ids[term_a], ids[term_b], assume_unique=True)
     if len(cand) == 0:
         return empty
     pos, idx_of = {}, {}
     for t in (term_a, term_b):
-        counts = vb.varbyte_decode(bytes(runs[t]["counts"]))
         want = np.searchsorted(ids[t], cand)
         idx_of[t] = want
-        pos[t] = _decode_positions_for(
-            runs[t], want, len(ids[t]), counts, block
-        )
+        pos[t] = lists[t].positions_for(want)
     out_ids, out_d = [], []
     for j, d in enumerate(cand):
         pa = pos[term_a][int(idx_of[term_a][j])]

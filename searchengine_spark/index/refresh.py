@@ -54,22 +54,34 @@ UNPACKED_SCHEMA = (
 )
 
 
+def _opt_title(df: DataFrame):
+    """title column if the frame has one, else NULL — indexes built
+    before the title column (or via the lemmas-path build_doc_stats)
+    stay readable."""
+    col = F.col("title") if "title" in df.columns else F.lit(None)
+    return col.cast("string").alias("title")
+
+
 def _doc_meta_resolved(spark: SparkSession, base: str) -> DataFrame:
-    """(doc_id, url, site, mrun, deleted): doc-level last-wins meta
-    resolution across base doc_stats (run 0) and idx/doc_meta_runs.
-    Ties at the same run resolve deleted-wins; duplicate meta rows
-    (at-least-once replay of a delta batch) collapse here too."""
-    meta = spark.read.parquet(f"{base}/idx/doc_stats").select(
-        "doc_id", "url", "site", F.lit(0).alias("mrun"),
-        F.lit(False).alias("deleted"),
+    """(doc_id, url, site, title, mrun, deleted): doc-level last-wins
+    meta resolution across base doc_stats (run 0) and
+    idx/doc_meta_runs. Ties at the same run resolve deleted-wins;
+    duplicate meta rows (at-least-once replay of a delta batch)
+    collapse here too."""
+    base_meta = spark.read.parquet(f"{base}/idx/doc_stats")
+    meta = base_meta.select(
+        "doc_id", "url", "site", _opt_title(base_meta),
+        F.lit(0).alias("mrun"), F.lit(False).alias("deleted"),
     )
     # explicit existence check — a READ failure on an existing delta
     # dir must propagate (swallowing it would silently drop every
     # delta doc from the repack and then delete their meta for good)
     delta_path = f"{base}/idx/doc_meta_runs"
     if os.path.isdir(delta_path):
-        deltas = spark.read.parquet(delta_path).select(
-            "doc_id", "url", "site", F.col("run_id").alias("mrun"), "deleted"
+        raw = spark.read.parquet(delta_path)
+        deltas = raw.select(
+            "doc_id", "url", "site", _opt_title(raw),
+            F.col("run_id").alias("mrun"), "deleted",
         )
         meta = meta.unionByName(deltas)
     latest = meta.groupBy("doc_id").agg(F.max("mrun").alias("mrun"))
@@ -80,8 +92,9 @@ def _doc_meta_resolved(spark: SparkSession, base: str) -> DataFrame:
             F.max("deleted").alias("deleted"),  # tombstone wins a tie
             F.min("url").alias("url"),  # identical per doc; min = determinism
             F.min("site").alias("site"),
+            F.min("title").alias("title"),
         )
-        .select("doc_id", "url", "site", "mrun", "deleted")
+        .select("doc_id", "url", "site", "title", "mrun", "deleted")
     )
 
 
@@ -220,9 +233,34 @@ def refresh_and_repack(
     tables = IndexTables(
         postings=cur.select("term", "doc_id", F.col("tf").cast("int").alias("tf")),
         term_stats=term_stats,
-        doc_stats=doc_stats.select("doc_id", "url", "site", "doclen"),
+        doc_stats=doc_stats.select("doc_id", "url", "site", "title", "doclen"),
     )
     write_index(tables, tmp_idx)
+
+    # positional lifecycle parity: if the index carries positional runs
+    # (<base>/possegs), fold their delta runs and drop tombstoned docs
+    # with the SAME meta-keyed resolution, repack to one run, and swap
+    # alongside. possegs is derivable state (refresh_positional can
+    # rebuild it), so its recovery rule is simpler: roll forward when
+    # complete, otherwise discard the temp and keep serving the stale
+    # snapshot (see recover()).
+    pos_path = f"{base}/possegs"
+    tmp_pos = f"{pos_path}.refreshing"
+    has_pos = os.path.isdir(pos_path)
+    if has_pos:
+        from .positional import (
+            current_positional,
+            repack_positional,
+            write_positional_segments,
+        )
+
+        possegs = spark.read.parquet(pos_path)
+        write_positional_segments(
+            repack_positional(
+                current_positional(possegs, live), run_id=run_id
+            ),
+            tmp_pos,
+        )
     cur.unpersist()
     live.unpersist()
 
@@ -231,7 +269,10 @@ def refresh_and_repack(
 
     # atomic-ish swaps (rename); on object stores use a catalog pointer
     # or snapshot replace instead
-    for i, (path, fresh) in enumerate(((seg_path, tmp), (idx_path, tmp_idx))):
+    swaps = [(seg_path, tmp), (idx_path, tmp_idx)]
+    if has_pos:
+        swaps.append((pos_path, tmp_pos))
+    for i, (path, fresh) in enumerate(swaps):
         if fail_mid_swap and i == 1:
             raise RuntimeError("injected crash between swaps")
         _swap_in(path, fresh)
@@ -264,6 +305,31 @@ def _tree_complete(path: str, subdirs: tuple[str, ...] = ()) -> bool:
     return all(os.path.exists(os.path.join(r, "_SUCCESS")) for r in roots)
 
 
+def _recover_pos(base: str, action: str) -> str:
+    """Positional half of recover(). possegs is DERIVABLE state
+    (service.refresh_positional rebuilds it from the corpus), so its
+    rule is simpler than the main two-tree invariant: roll the temp
+    forward when the main state is settled (`clean`/`forward` — the
+    possegs swap runs LAST) and the temp tree is complete, otherwise
+    discard it and keep serving the stale snapshot. A stale snapshot
+    is safe: tombstoned docs stay deny-listed and unknown docs drop in
+    the serve_meta join; the next compaction (or refresh_positional)
+    replaces it."""
+    pos_path = f"{base}/possegs"
+    tmp = f"{pos_path}.refreshing"
+    old = f"{pos_path}.old"
+    if os.path.exists(tmp):
+        if action in ("clean", "forward") and _tree_complete(tmp):
+            _swap_in(pos_path, tmp)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+    elif os.path.exists(old):
+        # crashed inside the possegs swap after tmp→path: new tree is
+        # live, the set-aside old one just needs dropping
+        shutil.rmtree(old, ignore_errors=True)
+    return action
+
+
 def recover(base: str) -> str:
     """Complete or undo an interrupted refresh_and_repack. Returns the
     action taken: 'forward' (temps were complete — finish the swaps),
@@ -278,7 +344,7 @@ def recover(base: str) -> str:
     olds_exist = any(os.path.exists(o) for o in olds)
     tmps_exist = os.path.exists(tmp_seg) or os.path.exists(tmp_idx)
     if not tmps_exist and not olds_exist:
-        return "clean"
+        return _recover_pos(base, "clean")
     seg_ok = _tree_complete(tmp_seg)
     idx_ok = _tree_complete(tmp_idx, ("postings", "term_stats", "doc_stats"))
 
@@ -291,10 +357,10 @@ def recover(base: str) -> str:
     # segments swap runs first; so:
     if olds_exist or not os.path.exists(seg_path) or not os.path.exists(idx_path):
         # crashed mid-rename — temps were complete by invariant
-        return forward()
+        return _recover_pos(base, forward())
     if os.path.exists(tmp_seg):
         if seg_ok and idx_ok:
-            return forward()  # crashed after both writes, before any swap
+            return _recover_pos(base, forward())  # crashed after both writes, before any swap
         # a temp write itself died: discard, old state is untouched.
         # tmp_idx goes FIRST (reverse of write order) so a crash between
         # the two rmtrees leaves tmp_seg-present/tmp_idx-absent — a
@@ -302,11 +368,11 @@ def recover(base: str) -> str:
         # idx-present shape the forward path would misread
         shutil.rmtree(tmp_idx, ignore_errors=True)
         shutil.rmtree(tmp_seg, ignore_errors=True)
-        return "rollback"
+        return _recover_pos(base, "rollback")
     # tmp_seg gone but tmp_idx remains ⇒ the segments swap already
     # happened (temps are written seg-first) — finish the idx swap
     if idx_ok:
-        return forward()
+        return _recover_pos(base, forward())
     raise RuntimeError(
         f"unrecoverable refresh state at {base}: segments already "
         f"swapped but {tmp_idx} is incomplete — restore from backup "

@@ -247,8 +247,12 @@ def write_delta_run(
             .partitionBy("shard")
             .parquet(f"{index_base}/segments")
         )
+        title = (
+            F.col("title") if "title" in delta_prepared.columns
+            else F.lit(None).cast("string")
+        ).alias("title")
         meta = delta_prepared.select(
-            "doc_id", "url", "site",
+            "doc_id", "url", "site", title,
             doclen_from_counts(delta_prepared).alias("doclen"),
             F.lit(run_id).cast("int").alias("run_id"),
             F.lit(False).alias("deleted"),
@@ -277,21 +281,25 @@ def write_tombstones(
     index are no-ops)."""
     import os
 
+    def _tcol(df):
+        col = F.col("title") if "title" in df.columns else F.lit(None)
+        return col.cast("string").alias("title")
+
     ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
-    meta = spark.read.parquet(f"{index_base}/idx/doc_stats").select(
-        "doc_id", "url", "site"
-    )
+    base_meta = spark.read.parquet(f"{index_base}/idx/doc_stats")
+    meta = base_meta.select("doc_id", "url", "site", _tcol(base_meta))
     # docs landed by un-refreshed deltas are deletable too; explicit
     # existence check — a read failure on an existing dir must
     # propagate, not silently no-op the deletions
     delta_path = f"{index_base}/idx/doc_meta_runs"
     if os.path.isdir(delta_path):
+        raw = spark.read.parquet(delta_path)
         meta = meta.unionByName(
-            spark.read.parquet(delta_path).select("doc_id", "url", "site")
+            raw.select("doc_id", "url", "site", _tcol(raw))
         )
     known = meta.dropDuplicates(["doc_id"]).join(F.broadcast(ids), "doc_id")
     rows = known.select(
-        "doc_id", "url", "site",
+        "doc_id", "url", "site", "title",
         F.lit(0).cast("long").alias("doclen"),
         F.lit(run_id).cast("int").alias("run_id"),
         F.lit(True).alias("deleted"),

@@ -393,6 +393,228 @@ def wand_shard_topk(
     return _topk_frame(cand, scores, n_hit, k)
 
 
+FUSED_OUT_SCHEMA = "doc_id long, score double, n_hit int, n_matched long"
+
+
+def wand_shard_topk_count(
+    pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int,
+    conjunctive: bool, n_terms: int, mode: str = "bm25",
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """wand_shard_topk PLUS the shard's pre-top-k match count in the
+    SAME pass (the reference response carries both the ranked page and
+    the total count, ApiService.java:104-146; running them as two
+    kernels intersects every posting list twice per request). Emits
+    the shard top-k rows (n_matched=0) plus ONE sentinel row
+    (n_hit=-1, n_matched=shard match count — n_hit is ≥1 on every
+    real hit, so -1 is unambiguous).
+
+    Disjunctive counting needs the full posting union regardless, so
+    block-max pruning buys nothing here: survivors are scored
+    exhaustively. Rank-identity holds by construction — pruning is
+    sound (never drops a true top-k doc), so pruned and exhaustive
+    top-k agree; `tests/test_packed_spark.py` asserts the fused path
+    against the two-kernel one on the full reference query set."""
+
+    def with_count(frame: pd.DataFrame, n: int) -> pd.DataFrame:
+        frame = frame.copy()
+        frame["n_matched"] = np.int64(0)
+        sent = pd.DataFrame(
+            {
+                "doc_id": np.array([0], np.int64),
+                "score": np.array([0.0]),
+                "n_hit": np.array([-1], np.int32),
+                "n_matched": np.array([n], np.int64),
+            }
+        )
+        return pd.concat([frame, sent], ignore_index=True)
+
+    if allowed is not None and len(allowed) == 0:
+        return with_count(_empty_topk(k), 0)
+    lists = [
+        _TermList(rows, n_docs, avgdl, mode)
+        for _, rows in pdf.groupby("term", sort=False)
+    ]
+    if not lists:
+        return with_count(_empty_topk(k), 0)
+
+    if conjunctive:
+        if len(lists) < n_terms:
+            return with_count(_empty_topk(k), 0)
+        lists.sort(key=lambda t: t.n)
+        cand = lists[0].decode_all()[0]
+        if allowed is not None:
+            cand = _intersect_sorted(cand, allowed)
+        if excluded is not None:
+            cand = _setdiff_sorted(cand, excluded)
+        for t in lists[1:]:
+            if len(cand) == 0:
+                break
+            _, present = t.lookup(cand)
+            cand = cand[present]
+        if len(cand) == 0:
+            return with_count(_empty_topk(k), 0)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        maxs = np.zeros(len(cand), dtype=np.float64)
+        for t in lists:
+            sc, _ = t.lookup(cand)
+            scores += sc
+            np.maximum(maxs, sc, out=maxs)
+        if mode == "legacy":
+            scores = scores / maxs
+        n_hit = np.full(len(cand), len(lists), dtype=np.int64)
+        return with_count(_topk_frame(cand, scores, n_hit, k), len(cand))
+
+    nonempty = [t for t in lists if t.n > 0]
+    if not nonempty:
+        return with_count(_empty_topk(k), 0)
+    cand = np.unique(np.concatenate([t.decode_all()[0] for t in nonempty]))
+    if allowed is not None:
+        cand = _intersect_sorted(cand, allowed)
+    if excluded is not None:
+        cand = _setdiff_sorted(cand, excluded)
+    if len(cand) == 0:
+        return with_count(_empty_topk(k), 0)
+    scores = np.zeros(len(cand), dtype=np.float64)
+    maxs = np.zeros(len(cand), dtype=np.float64)
+    n_hit = np.zeros(len(cand), dtype=np.int64)
+    for t in nonempty:
+        sc, present = t.lookup(cand)
+        scores += sc
+        np.maximum(maxs, sc, out=maxs)
+        n_hit += present.astype(np.int64)
+    if mode == "legacy":
+        scores = np.divide(scores, maxs, out=np.zeros_like(scores),
+                           where=maxs > 0)
+    return with_count(_topk_frame(cand, scores, n_hit, k), len(cand))
+
+
+def _resolve_terms(
+    term_stats, n_docs: int, lemmas: list[str], max_rel_freq: float,
+    df_map: dict | None,
+) -> list[str]:
+    """F4 pruning + absent-term drop — shared by every packed entry
+    point (reference ApiService.java:121-126,222-236)."""
+    if df_map is not None:
+        stats = {t: df_map[t] for t in lemmas if t in df_map}
+    else:
+        stats = {
+            r["term"]: r["df"]
+            for r in term_stats.filter(F.col("term").isin(lemmas)).collect()
+        }
+    return [
+        t for t in lemmas
+        if t in stats and stats[t] / float(n_docs) <= max_rel_freq
+    ]
+
+
+def _site_members(doc_stats, site: str, n_shards: int):
+    """The site's member docs keyed to the segments' doc-space hash
+    shards (reference site filter, ApiService.java:88-98)."""
+    return doc_stats.filter(F.col("site") == site).select(
+        "doc_id",
+        F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
+        .alias("shard"),
+    )
+
+
+def search_packed_fused(
+    spark,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    k: int = 20,
+    conjunctive: bool = True,
+    max_rel_freq: float = 0.95,
+    df_map: dict | None = None,
+    mode: str = "bm25",
+    site: str | None = None,
+    offset: int = 0,
+    doc_stats: DataFrame | None = None,
+    n_shards: int | None = None,
+    excluded_doc_ids: list[int] | None = None,
+) -> tuple[list[tuple[int, float]], int]:
+    """ONE kernel pass per shard serving BOTH the ranked page and the
+    pre-pagination match count → ([(doc_id, score)] already
+    offset-sliced and globally ranked, n_matched). This is the warm
+    server's hot path (service.search): the two-kernel formulation
+    (match_count_packed + search_packed) decoded and intersected every
+    posting list twice per request.
+
+    Plan shape: term-pruned segment scan → one applyInPandas kernel
+    per shard → driver merge of ≤ n_shards·(offset+k+1) rows (the +1
+    is each shard's count sentinel). The global sort happens
+    driver-side over that bounded set — same rank order (score desc,
+    doc_id asc) as search_packed's TakeOrderedAndProject."""
+    from ..operators.search import MAX_OFFSET
+
+    if k < 0 or offset < 0:
+        raise ValueError(
+            f"k and offset must be >= 0 (got k={k}, offset={offset})"
+        )
+    if offset > MAX_OFFSET:
+        raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
+    lemmas = lemmatize_query(query)
+    if not lemmas:
+        return [], 0
+    terms = _resolve_terms(term_stats, n_docs, lemmas, max_rel_freq, df_map)
+    if not terms:
+        return [], 0
+    n_terms = len(terms)
+    k_eff = offset + k
+
+    seg = segments.filter(F.col("term").isin(terms))
+    exc = (
+        np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
+        if excluded_doc_ids else None
+    )
+    if site is None:
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: wand_shard_topk_count(pdf, n_docs, avgdl, k_eff,
+                                              conjunctive, n_terms, mode,
+                                              excluded=exc),
+            schema=FUSED_OUT_SCHEMA,
+        )
+    else:
+        if doc_stats is None:
+            raise ValueError(
+                "site filter on the packed path needs doc_stats "
+                "(doc_id, site)"
+            )
+        if n_shards is None:
+            n_shards = int(
+                segments.agg(F.max("shard")).collect()[0][0]
+            ) + 1
+        members = _site_members(doc_stats, site, n_shards)
+
+        def _kernel(seg_pdf: pd.DataFrame, mem_pdf: pd.DataFrame):
+            allowed = np.sort(
+                mem_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+            )
+            return wand_shard_topk_count(seg_pdf, n_docs, avgdl, k_eff,
+                                         conjunctive, n_terms, mode,
+                                         allowed=allowed, excluded=exc)
+
+        per_shard = (
+            seg.groupby("shard")
+            .cogroup(members.groupby("shard"))
+            .applyInPandas(_kernel, schema=FUSED_OUT_SCHEMA)
+        )
+    rows = per_shard.collect()
+    count = sum(r["n_matched"] for r in rows if r["n_hit"] == -1)
+    hits = [r for r in rows if r["n_hit"] != -1]
+    if conjunctive:
+        hits = [r for r in hits if r["n_hit"] == n_terms]
+    hits.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    return (
+        [(r["doc_id"], r["score"]) for r in hits[offset:k_eff]],
+        int(count),
+    )
+
+
 def search_packed(
     spark,
     segments: DataFrame,
@@ -456,20 +678,10 @@ def search_packed(
     lemmas = lemmatize_query(query)
     if not lemmas:
         return empty_df(spark, "doc_id long, score double")
-    if df_map is not None:
-        stats = {t: df_map[t] for t in lemmas if t in df_map}
-    else:
-        stats = {
-            r["term"]: r["df"]
-            for r in term_stats.filter(F.col("term").isin(lemmas)).collect()
-        }
     # F4 pruning + absent-term drop — same contract as the relational
     # path and the oracle (reference: ApiService.java:121-126,222-236 —
     # lemmas not found in the dictionary simply vanish from the query)
-    terms = [
-        t for t in lemmas
-        if t in stats and stats[t] / float(n_docs) <= max_rel_freq
-    ]
+    terms = _resolve_terms(term_stats, n_docs, lemmas, max_rel_freq, df_map)
     if not terms:
         return empty_df(spark, "doc_id long, score double")
     n_terms = len(terms)
@@ -501,11 +713,7 @@ def search_packed(
             n_shards = int(
                 segments.agg(F.max("shard")).collect()[0][0]
             ) + 1
-        members = doc_stats.filter(F.col("site") == site).select(
-            "doc_id",
-            F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
-            .alias("shard"),
-        )
+        members = _site_members(doc_stats, site, n_shards)
 
         def _kernel(seg_pdf: pd.DataFrame, mem_pdf: pd.DataFrame):
             allowed = np.sort(
@@ -614,17 +822,7 @@ def match_count_packed(
     lemmas = lemmatize_query(query)
     if not lemmas:
         return 0
-    if df_map is not None:
-        stats = {t: df_map[t] for t in lemmas if t in df_map}
-    else:
-        stats = {
-            r["term"]: r["df"]
-            for r in term_stats.filter(F.col("term").isin(lemmas)).collect()
-        }
-    terms = [
-        t for t in lemmas
-        if t in stats and stats[t] / float(n_docs) <= max_rel_freq
-    ]
+    terms = _resolve_terms(term_stats, n_docs, lemmas, max_rel_freq, df_map)
     if not terms:
         return 0
     n_terms = len(terms)
@@ -679,11 +877,7 @@ def match_count_packed(
             n_shards = int(
                 segments.agg(F.max("shard")).collect()[0][0]
             ) + 1
-        members = doc_stats.filter(F.col("site") == site).select(
-            "doc_id",
-            F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
-            .alias("shard"),
-        )
+        members = _site_members(doc_stats, site, n_shards)
         per_shard = (
             seg.groupby("shard")
             .cogroup(members.groupby("shard"))

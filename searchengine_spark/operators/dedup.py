@@ -34,7 +34,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import LSH_BANDS, LSH_ROWS, NUM_MINHASH, P31, h32, minhash_params
+from ..functions.hashing import (
+    CHAR_BASE,
+    CHAR_MOD,
+    LSH_BANDS,
+    LSH_ROWS,
+    NUM_MINHASH,
+    P31,
+    h32,
+    h60,
+    minhash_params,
+)
 
 SHINGLE_W = 3  # word trigrams
 
@@ -424,12 +434,16 @@ def decontaminate(
 
 
 LINE_DEDUP_MIN_DOCS = 10  # a line in ≥ this many distinct docs is boilerplate
+# auto-mode broadcast cap for the boilerplate set: ~4M rows × 16 B ≈
+# 64 MB per executor — comfortably under a default 1 GiB overhead
+LINE_DEDUP_BROADCAST_MAX = 4_000_000
 
 
 def line_dedup(
     docs: DataFrame,
     text: str = "text",
     min_docs: int = LINE_DEDUP_MIN_DOCS,
+    broadcast_common: bool | None = None,
 ) -> DataFrame:
     """(doc_id, n_lines, n_dropped, clean_text): CCNet-style line-level
     boilerplate removal — drop every line whose exact content appears
@@ -442,15 +456,24 @@ def line_dedup(
     public paper).
 
     Plan shape (10^12 docs):
-      * lines posexplode (narrow), line hash = md5-derived h32;
+      * lines posexplode (narrow), line hash = md5-derived h60 (60-bit:
+        a 32-bit keyspace birthday-collides around 10^5 distinct lines
+        and would silently drop unrelated content as boilerplate);
       * boilerplate set = distinct (doc_id, h) → groupBy(h) count —
         two hash-spread shuffles keyed by line hash, no skew beyond
         the boilerplate lines themselves (bounded by the df-cut);
       * the surviving-frequency frame (lines in ≥ min_docs docs) is
-        TINY by construction — boilerplate repeated across ≥10 docs is
-        a short list at any corpus size — so it BROADCASTS into the
-        line frame and the corpus-sized side never shuffles for the
-        join;
+        usually small — but it is NOT provably bounded (template/
+        nav-bar variants grow with corpus size), so broadcast is
+        guarded: ``broadcast_common=None`` (default) probes its row
+        count with a limit-capped count job and broadcasts only under
+        LINE_DEDUP_BROADCAST_MAX rows, falling back to a shuffle join
+        on h; True forces the broadcast (skips the probe job — only
+        when the caller KNOWS the set is tiny); False forces the
+        shuffle join. The probe recomputes the tiny-side aggregation
+        (one extra pass over the pruned line columns) — at cluster
+        scale persist the hashed line frame upstream to pay the scan
+        once;
       * reassembly = one groupBy(doc_id) collect of that doc's own
         lines (bounded by max doc size, same bound the tokenizer
         already assumes);
@@ -464,7 +487,7 @@ def line_dedup(
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line"),
-    ).withColumn("h", h32(F.col("line")) % P31)
+    ).withColumn("h", h60(F.col("line")))
     common = (
         lines.select("doc_id", "h").distinct()
         .groupBy("h")
@@ -472,9 +495,15 @@ def line_dedup(
         .filter(F.col("nd") >= min_docs)
         .select("h")
     )
-    flagged = lines.join(
-        F.broadcast(common.withColumn("is_bp", F.lit(1))), "h", "left"
-    )
+    if broadcast_common is None:
+        broadcast_common = (
+            common.limit(LINE_DEDUP_BROADCAST_MAX + 1).count()
+            <= LINE_DEDUP_BROADCAST_MAX
+        )
+    common = common.withColumn("is_bp", F.lit(1))
+    if broadcast_common:
+        common = F.broadcast(common)
+    flagged = lines.join(common, "h", "left")
     keep_line = F.col("is_bp").isNull()
     return (
         flagged.groupBy("doc_id")
@@ -511,13 +540,15 @@ def duplicate_spans(
 ) -> DataFrame:
     """(doc_id, n_windows, n_dup_windows, dup_e4): exact-substring
     duplication audit — hash the ``window``-char substring at EVERY
-    offset, keep the windows whose hash ≡ 0 (mod ``stride``)
-    (content-defined selection, the winnowing/CDC anchor trick), and
-    count per doc how many kept windows appear verbatim in ≥2 DISTINCT
-    documents. dup_e4 = n_dup/n_windows ×10⁴ fixed-point. This is the
-    scalable stand-in for suffix-array exact-substring dedup (Lee et
-    al. 2021, "Deduplicating Training Data Makes Language Models
-    Better" — public paper).
+    offset with a character-level polynomial hash (fold(chars, 0,
+    (acc, c) -> (acc·CHAR_BASE + codepoint(c)) % CHAR_MOD)), keep the
+    windows whose hash ≡ 0 (mod ``stride``) (content-defined
+    selection, the winnowing/CDC anchor trick), and count per doc how
+    many kept windows appear verbatim in ≥2 DISTINCT documents.
+    dup_e4 = n_dup/n_windows ×10⁴ fixed-point. This is the scalable
+    stand-in for suffix-array exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public paper).
 
     Selection is a function of window CONTENT only, so two verbatim
     copies of a span keep exactly the same windows regardless of where
@@ -531,35 +562,74 @@ def duplicate_spans(
     misses the anchor emit n_windows=0 with dup_e4=0.
 
     Plan shape (10^12 docs):
-      * window enumeration+hash is a narrow per-row transform+explode
-        (len−window+1 hashes per doc, ≈ len/stride surviving rows; no
-        data movement). The hashed frame feeds two branches (frequency
-        count, join-back) and is recomputed per branch — at corpus
-        scale re-scanning the pruned (doc_id, text) columns twice
-        usually beats persisting a corpus-sized hashed frame; persist
-        upstream (the _doc_sigs pattern) if cluster storage allows;
+      * window hashing is ONE map-only Arrow kernel per partition
+        (vectorized numpy): codepoints via a single utf-32 decode,
+        then the window polynomial evaluated as a ``window``-pass
+        uint64 multiply-add-mod correlation against precomputed base
+        powers — O(window·len) single-cycle integer ops per doc
+        (≈100×  cheaper than the previous md5-at-every-offset native
+        expression, which pushed O(window·len) BYTES through md5;
+        measured 9.2× end-to-end on the sf0.01 contract query). The
+        anchor filter runs INSIDE the kernel, so only the ≈len/stride
+        kept hashes ever materialize as rows (the old explode
+        materialized len 32-char substrings — 32× the text volume).
+        The kernel feeds two branches (frequency count, join-back)
+        and is recomputed per branch — at corpus scale re-scanning
+        the pruned (doc_id, text) columns twice usually beats
+        persisting a corpus-sized hashed frame; persist upstream (the
+        _doc_sigs pattern) if cluster storage allows;
       * the duplicated-span set = distinct (doc_id, h) → groupBy(h)
         HAVING ≥2 — hash-spread shuffles. Unlike line_dedup's
         boilerplate set this set is NOT provably tiny (every pairwise
         copied span lands in it), so the join back is a plain shuffle
         join on h, never a broadcast;
       * final per-doc rollup groups by doc_id (no skew).
+
+    Oracle replica: per-window BIGINT fold (acc·131 + unicode(c)) %
+    CHAR_MOD — same recurrence, exact in both engines (CHAR_MOD <
+    2^42; see functions/hashing.py overflow note). The 42-bit keyspace
+    replaces the previous 31-bit one: birthday collisions at ~10^5
+    windows become ~10^6·45 — still inevitable at 10^12-doc scale
+    (any fixed-width hash collides there); collisions only inflate
+    n_dup_windows, never drop content.
     """
-    # short docs are filtered out, AND the sequence bound is clamped to
-    # 1: Spark's sequence(1, 0, +1) raises on inverted bounds, and the
-    # optimizer may evaluate the projection on pre-filter rows (same
-    # hazard as repetition_stats' slice clamp) — clamped rows are
-    # dropped by the filter either way
-    all_h = docs.filter(F.length(F.col(text)) >= window).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text}) - {window} + 1, 1), 1),"
-                f" i -> substring({text}, i, {window}))"
-            )
-        ).alias("w"),
-    ).select("doc_id", (h32(F.col("w")) % P31).alias("h"))
-    wins = all_h.filter(F.col("h") % stride == 0)
+    import pandas as pd
+
+    # powers CHAR_BASE^(window-1-j) for j = 0..window-1, precomputed
+    # driver-side and closed over by the kernel
+    pw = [pow(CHAR_BASE, window - 1 - j, CHAR_MOD) for j in range(window)]
+
+    def kept_hashes(batches):
+        import numpy as np
+
+        pwa = np.array(pw, dtype=np.uint64)
+        mod = np.uint64(CHAR_MOD)
+        for pdf in batches:
+            out = []
+            for t in pdf[text]:
+                if t is None or len(t) < window:
+                    out.append([])
+                    continue
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.uint64)
+                n = codes.size - window + 1
+                acc = np.zeros(n, dtype=np.uint64)
+                for j in range(window):
+                    acc = (acc + codes[j : j + n] * pwa[j]) % mod
+                out.append(
+                    acc[acc % np.uint64(stride) == 0]
+                    .astype(np.int64)
+                    .tolist()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hs": out})
+
+    wins = (
+        docs.filter(F.length(F.col(text)) >= window)
+        .select("doc_id", text)
+        .mapInPandas(kept_hashes, schema="doc_id long, hs array<long>")
+        .select("doc_id", F.explode("hs").alias("h"))
+    )
     # a >=window-char doc may keep zero windows (every hash misses the
     # anchor) — those docs must still emit a row, from the pre-filter
     # doc list

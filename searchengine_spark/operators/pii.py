@@ -30,9 +30,14 @@ from pyspark.sql import functions as F
 
 # order matters (see module docstring); each entry: (name, pattern,
 # placeholder). Patterns are Java/RE2-common — see determinism note.
+# IPv4 octets are range-checked (0–255, leading zeros tolerated as in
+# C4-style scrubbers) so 999.999.999.999 is NOT redacted; phone
+# separators must be consistent (explicit two-form alternation —
+# backreferences would break RE2) so "555-123 4567" is NOT redacted.
+_OCT = r"(?:25[0-5]|2[0-4]\d|1?\d?\d)"
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+PII_IPV4 = rf"\b{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}\b"
+PII_PHONE = r"\b(?:\d{3}-\d{3}-\d{4}|\d{3} \d{3} \d{4})\b"
 
 PII_RULES = [
     ("email", PII_EMAIL, "<EMAIL>"),
@@ -42,7 +47,7 @@ PII_RULES = [
 
 
 def pii_scrub(docs: DataFrame, text: str = "text") -> DataFrame:
-    """(doc_id, n_emails, n_ips, n_phones, clean_text): per-doc match
+    """(doc_id, n_emails, n_ipv4s, n_phones, clean_text): per-doc match
     counts for each PII class plus the redacted text with typed
     placeholders. Counts are taken on the SAME intermediate string the
     corresponding replace pass sees (post prior-rule redaction), so

@@ -85,6 +85,10 @@ def prepare_docs(docs: DataFrame, use_html: bool = False) -> DataFrame:
     from ..functions.urlnorm import canonical_url, is_file_url
 
     text_col = extract_text_udf(F.col("html")) if use_html else F.col("text")
+    title_col = (
+        title_from_html(F.col("html")) if use_html
+        else F.lit(None).cast("string")
+    )
     return (
         filter_valid_pages(docs)
         .filter(~is_file_url(F.col("url")))
@@ -94,6 +98,7 @@ def prepare_docs(docs: DataFrame, use_html: bool = False) -> DataFrame:
             F.xxhash64("url").alias("doc_id"),
             "url",
             F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),
+            title_col.alias("title"),
             text_col.alias("text"),
         )
         .withColumn("lemmas", tokenize_lemmatize_udf(F.col("text")))
@@ -137,6 +142,10 @@ def prepare_docs_counts(docs: DataFrame, use_html: bool = True) -> DataFrame:
     from ..functions.urlnorm import canonical_url, is_file_url
 
     text_col = extract_text_udf(F.col("html")) if use_html else F.col("text")
+    title_col = (
+        title_from_html(F.col("html")) if use_html
+        else F.lit(None).cast("string")
+    )
     return (
         filter_valid_pages(docs)
         .filter(~is_file_url(F.col("url")))
@@ -145,9 +154,23 @@ def prepare_docs_counts(docs: DataFrame, use_html: bool = True) -> DataFrame:
             F.xxhash64("url").alias("doc_id"),
             "url",
             F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),
+            title_col.alias("title"),
             term_counts_udf(text_col).alias("term_counts"),
         )
         .dropDuplicates(["doc_id"])
+    )
+
+
+def title_from_html(html_col):
+    """Page <title> for the serving response (reference SearchItem
+    carries the page title, model/response/SearchItem + the jsoup
+    doc.title() in IndexingService): first <title> element,
+    whitespace-trimmed, binary html decoded as UTF-8. Pure column
+    math on the scan — no UDF, no shuffle."""
+    return F.trim(
+        F.regexp_extract(
+            html_col.cast("string"), r"(?is)<title[^>]*>(.*?)</title>", 1
+        )
     )
 
 
@@ -193,10 +216,16 @@ def build_term_stats(postings: DataFrame) -> DataFrame:
 
 
 def build_doc_stats(prepared: DataFrame) -> DataFrame:
-    """doc_stats(doc_id, url, site, doclen); doclen = |lemma stream|
-    (post stop-filter) — the BM25 length normalizer."""
+    """doc_stats(doc_id, url, site, title, doclen); doclen = |lemma
+    stream| (post stop-filter) — the BM25 length normalizer; title =
+    serving metadata (reference SearchItem.title)."""
+    title = (
+        F.col("title") if "title" in prepared.columns
+        else F.lit(None).cast("string")
+    ).alias("title")
     return prepared.select(
-        "doc_id", "url", "site", F.size("lemmas").cast("long").alias("doclen")
+        "doc_id", "url", "site", title,
+        F.size("lemmas").cast("long").alias("doclen"),
     )
 
 
@@ -245,9 +274,11 @@ def materialize_index(
     if prepared is None:
         prepared = prepare_docs_counts(docs, use_html=use_html)
     elif "term_counts" not in prepared.columns:
+        keep = ["doc_id", "url", "site"] + (
+            ["title"] if "title" in prepared.columns else []
+        )
         prepared = prepared.select(
-            "doc_id", "url", "site",
-            term_counts_udf(F.col("text")).alias("term_counts"),
+            *keep, term_counts_udf(F.col("text")).alias("term_counts")
         )
     (
         explode_term_counts(prepared)
@@ -267,7 +298,12 @@ def materialize_index(
         doclen = postings.groupBy("doc_id").agg(
             F.sum("tf").cast("long").alias("doclen")
         )
-        meta = prepared.select("doc_id", "url", "site")  # UDFs pruned out
+        title = (
+            F.col("title") if "title" in prepared.columns
+            else F.lit(None).cast("string")
+        ).alias("title")
+        # UDFs pruned out of this scan (title is native column math)
+        meta = prepared.select("doc_id", "url", "site", title)
         (
             meta.join(doclen, "doc_id", "left")
             .fillna(0, subset=["doclen"])

@@ -15,13 +15,14 @@ tiny Spark job over them:
   GET /api/start/stopIndexing → operators/ops.py (job-group cancel + manifest resume)
 
 Response dicts mirror the reference DTOs (SearchResponse/SearchItem:
-result, count, data[site, uri, relevance, snippet]; StatisticsResponse:
-total + detailed per site) so a client of the reference can switch with
-a field-for-field mapping. Differences by design: `relevance` is the
-full-precision BM25 double (the reference stringifies a float), and
-`title` is omitted (the packed index stores postings + metadata, not
-page bodies; pass `docs_text` to serve snippets, which is what the
-reference renders).
+result, count, data[site, uri, title, relevance, snippet];
+StatisticsResponse: total + detailed per site) so a client of the
+reference can switch with a field-for-field mapping. `title` is the
+page <title> captured at index time (carried in doc meta —
+operators/postings.title_from_html), round-tripping through delta
+runs and compaction like url/site. One difference by design:
+`relevance` is the full-precision BM25 double (the reference
+stringifies a float).
 
 Scale shape: every search is the packed WAND path (index/wand.py) —
 term-pruned segment scan, per-shard kernels, ≤ shards·(offset+k) row
@@ -40,11 +41,7 @@ from pyspark.sql import functions as F
 
 from .index.refresh import _doc_meta_resolved, recover
 from .index.segments import write_delta_run, write_tombstones
-from .index.wand import (
-    match_count_packed,
-    search_packed,
-    search_packed_with_snippets,
-)
+from .index.wand import search_packed_fused
 from .operators.postings import prepare_docs_counts, read_index
 from .operators.search import corpus_constants
 
@@ -93,42 +90,50 @@ class SearchService:
         conjunctive: bool = True,
     ) -> dict:
         """SearchResponse dict: {result, count, data:[{site, uri, url,
-        doc_id, relevance[, snippet]}]}. `count` is the pre-pagination
-        match total (ApiService.java:104-113); `data` is the
-        [offset, offset+limit) slice ranked (score desc, doc_id asc)."""
-        count = match_count_packed(
+        doc_id, title, relevance[, snippet]}]}. `count` is the
+        pre-pagination match total (ApiService.java:104-113); `data`
+        is the [offset, offset+limit) slice ranked (score desc,
+        doc_id asc).
+
+        ONE kernel pass per request (search_packed_fused): each
+        shard's WAND kernel returns its top page AND its match count
+        in the same applyInPandas call — the two-kernel formulation
+        decoded and intersected every posting list twice."""
+        if snippets and self.docs_text is None:
+            raise ValueError(
+                "snippets need docs_text (doc_id, text) at open"
+            )
+        hits, count = search_packed_fused(
             self.spark, self.segments, self.term_stats, self.n_docs,
-            query, conjunctive=conjunctive, site=site, df_map=self.df_map,
+            self.avgdl, query, k=limit, offset=offset, site=site,
+            mode=mode, conjunctive=conjunctive, df_map=self.df_map,
             doc_stats=self.serve_meta, n_shards=self.n_shards,
             excluded_doc_ids=self.tombstoned,
         )
+        if not hits:
+            return {"result": True, "count": count, "data": []}
+        winners = self.spark.createDataFrame(
+            [(int(d), float(s)) for d, s in hits],
+            "doc_id long, score double",
+        )
         if snippets:
-            if self.docs_text is None:
-                raise ValueError(
-                    "snippets need docs_text (doc_id, text) at open"
-                )
-            rows = search_packed_with_snippets(
-                self.spark, self.segments, self.term_stats,
-                self.serve_meta, self.docs_text, self.n_docs, self.avgdl,
-                query, k=limit, offset=offset, site=site, mode=mode,
-                conjunctive=conjunctive, snippet_mode=self.snippet_mode,
-                df_map=self.df_map, n_shards=self.n_shards,
-                excluded_doc_ids=self.tombstoned,
-            ).collect()
-        else:
-            hits = search_packed(
-                self.spark, self.segments, self.term_stats, self.n_docs,
-                self.avgdl, query, k=limit, offset=offset, site=site,
-                mode=mode, conjunctive=conjunctive, df_map=self.df_map,
-                doc_stats=self.serve_meta, n_shards=self.n_shards,
-                excluded_doc_ids=self.tombstoned,
+            from .functions.udfs import snippet_udf
+            from .operators.search import lemmatize_query
+
+            snip = snippet_udf(
+                lemmatize_query(query), 3, mode=self.snippet_mode
             )
-            rows = (
-                self.serve_meta.select("doc_id", "url")
-                .join(F.broadcast(hits), "doc_id")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .collect()
+            winners = (
+                self.docs_text.select("doc_id", "text")
+                .join(F.broadcast(winners), "doc_id")
+                .select("doc_id", "score", snip(F.col("text")).alias("snippet"))
             )
+        rows = (
+            self.serve_meta.select("doc_id", "url", "title")
+            .join(F.broadcast(winners), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
         data = []
         for r in rows:
             url = r["url"]
@@ -138,6 +143,7 @@ class SearchService:
                 "uri": url[slash:] if slash != -1 else "/",
                 "url": url,
                 "doc_id": r["doc_id"],
+                "title": r["title"],
                 "relevance": r["score"],
             }
             if snippets:
@@ -153,11 +159,15 @@ class SearchService:
         [{site, uri, url, doc_id, phrase_tf}]}, ranked (phrase_tf
         desc, doc_id asc). `count` is the pre-pagination match total.
 
-        The positional runs are a SNAPSHOT: read from <base>/possegs
-        if present, else built once from `docs_text` on first use.
-        Deletes are honored immediately (tombstone deny-list, same as
-        search); pages indexed after the snapshot appear after
-        refresh_positional()."""
+        The positional runs live at <base>/possegs (built once from
+        `docs_text` on first use if absent) and follow the SAME
+        delta/last-run-wins/compaction lifecycle as the TF segments:
+        index_page appends a positional delta run (phrase-searchable
+        immediately), delete_page is honored via the tombstone
+        deny-list, and compaction (scripts/compact.py →
+        refresh_and_repack) folds runs and drops tombstones. Only a
+        page landed while the positional layer did not exist yet needs
+        refresh_positional() to appear."""
         from .functions.textproc import tokenize_lemmatize
         from .index.positional import phrase_search_packed_terms
 
@@ -170,12 +180,18 @@ class SearchService:
         )
         if self.tombstoned:
             hits = hits.filter(~F.col("doc_id").isin(self.tombstoned))
+        # count only SERVABLE docs (semi-join the living meta): a stale
+        # possegs snapshot — possible after a crash-recovery discard —
+        # may still hold rows for docs compaction removed
+        hits = hits.join(
+            self.serve_meta.select("doc_id"), "doc_id", "left_semi"
+        )
         count = hits.count()
         top = hits.orderBy(
             F.desc("phrase_tf"), F.asc("doc_id")
         ).limit(limit)
         rows = sorted(
-            self.serve_meta.select("doc_id", "url")
+            self.serve_meta.select("doc_id", "url", "title")
             .join(F.broadcast(top), "doc_id")
             .collect(),
             key=lambda r: (-r["phrase_tf"], r["doc_id"]),
@@ -190,6 +206,7 @@ class SearchService:
                     "uri": url[slash:] if slash != -1 else "/",
                     "url": url,
                     "doc_id": r["doc_id"],
+                    "title": r["title"],
                     "phrase_tf": r["phrase_tf"],
                 }
             )
@@ -302,6 +319,34 @@ class SearchService:
             n_docs=self.n_docs, avgdl=self.avgdl,
             n_shards=self.n_shards, run_id=run_id,
         )
+        # positional lifecycle parity: if this index carries positional
+        # runs, land the page's positional DELTA run under the same
+        # run_id — the page becomes phrase-searchable immediately via
+        # the kernel's last-run-wins merge, and the next compaction
+        # folds it (index/refresh.py repacks possegs alongside)
+        import os
+
+        if os.path.isdir(f"{self.base}/possegs"):
+            from .index.positional import (
+                build_positional_segments,
+                write_positional_segments,
+            )
+            from .operators.postings import prepare_docs
+
+            pos_prepared = prepare_docs(row_df, use_html=True).select(
+                "doc_id", "lemmas"
+            )
+            write_positional_segments(
+                build_positional_segments(
+                    pos_prepared, self.n_shards, run_id=run_id
+                ),
+                f"{self.base}/possegs",
+                mode="append",
+            )
+            old_pos = getattr(self, "pos_segments", None)
+            if old_pos is not None:  # cached snapshot is stale
+                old_pos.unpersist()
+                self.pos_segments = None
         self._open_segments()  # delta appended → segment cache is stale
         # the hot dictionary must learn the delta's terms or they prune
         # as absent; unseen terms get df=1, mirroring the delta run's
@@ -359,7 +404,7 @@ class SearchService:
         resolved = _doc_meta_resolved(self.spark, self.base)
         self.serve_meta = (
             resolved.filter(~F.col("deleted"))
-            .select("doc_id", "url", "site")
+            .select("doc_id", "url", "site", "title")
             .cache()
         )
         self.serve_meta.count()

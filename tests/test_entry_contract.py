@@ -86,12 +86,15 @@ def test_registry_priority_order():
         set(q) ^ set(contract._PRIORITY)
     )
     head50 = list(q)[:50]
+    # r4: reworked entries + the 14 relational entries whose rows were
+    # truncated out of the r3 sweep (rotation per VERDICT r3 #3)
     for name in [
-        "q_clean_corpus", "q_training_mixture", "q_phrase_match",
-        "q_proximity_match", "q_dedup_components", "q_decontaminate",
-        "q_repetition_stats", "q_train_split", "q_stratified_sample",
-        "q_pack_sequences", "q_mixture_sample", "q_pii_scrub",
-        "q_line_dedup", "q_dup_spans",
+        "q_dup_spans", "q_line_dedup", "q_pii_scrub",
+        "q_filter_range_scan", "q_semi_join", "q_anti_join", "q_set_ops",
+        "q_running_total", "q_topk_per_group", "q_latest_event_per_user",
+        "q_value_percentiles", "q_value_histogram", "q_json_extract",
+        "q_events_by_dow", "q_cube_source_lang", "q_join_agg_revenue",
+        "q_point_lookup",
     ]:
         assert name in head50, f"{name} not in first 50 sweep slots"
 

@@ -194,3 +194,40 @@ def test_packed_full_response_and_match_count(spark, index, segments, constants)
     assert match_count_packed(
         spark, segments, index.term_stats, n, "nosuchwordxyz"
     ) == 0
+
+
+@pytest.mark.parametrize(
+    "qid,query,site,offset,limit,mode,conj", QUERIES,
+    ids=[str(q[0]) for q in QUERIES],
+)
+def test_fused_count_topk_equals_two_kernel(
+    spark, index, segments, constants, qid, query, site, offset, limit,
+    mode, conj,
+):
+    """The one-pass count+topk kernel (search_packed_fused — the warm
+    server's hot path) is result-identical to the two-kernel
+    formulation (search_packed + match_count_packed) on the FULL
+    reference query set."""
+    from searchengine_spark.index.wand import (
+        match_count_packed,
+        search_packed_fused,
+    )
+
+    n, avgdl = constants
+    hits, count = search_packed_fused(
+        spark, segments, index.term_stats, n, avgdl, query, k=limit,
+        conjunctive=conj, mode=mode, site=site, offset=offset,
+        doc_stats=index.doc_stats, n_shards=4,
+    )
+    want = search_packed(
+        spark, segments, index.term_stats, n, avgdl, query, k=limit,
+        conjunctive=conj, mode=mode, site=site, offset=offset,
+        doc_stats=index.doc_stats, n_shards=4,
+    ).collect()
+    assert [(d, s) for d, s in hits] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    assert count == match_count_packed(
+        spark, segments, index.term_stats, n, query, conjunctive=conj,
+        site=site, doc_stats=index.doc_stats, n_shards=4,
+    )

@@ -142,3 +142,45 @@ def test_duplicate_spans_verbatim_duplicate_docs_fully_flagged(spark):
     assert out[1]["n_dup_windows"] == out[1]["n_windows"]
     assert out[1]["dup_e4"] == 10000
     assert out[3]["n_dup_windows"] == 0
+
+
+def test_pii_ipv4_rejects_out_of_range_quads(spark):
+    # ADVICE r3: octet range alternation — 999.999.999.999 / 256.1.1.1
+    # must NOT be redacted, real addresses must
+    rows = [(1, "bad 999.999.999.999 and 256.1.1.1 real 255.255.255.255 "
+                "and 0.0.0.0")]
+    out = pii_scrub(_docs(spark, rows)).collect()[0]
+    assert out["n_ipv4s"] == 2
+    assert "999.999.999.999" in out["clean_text"]
+    assert "256.1.1.1" in out["clean_text"]
+    assert out["clean_text"].count("<IP>") == 2
+
+
+def test_pii_phone_rejects_mixed_separators(spark):
+    # ADVICE r3: consistent-separator alternation (no backreference —
+    # the oracle's RE2 has none) — "555-123 4567" is not a phone
+    rows = [(1, "mixed 555-123 4567 no, but 555 123 4567 yes")]
+    out = pii_scrub(_docs(spark, rows)).collect()[0]
+    assert out["n_phones"] == 1
+    assert "555-123 4567" in out["clean_text"]
+    assert "<PHONE>" in out["clean_text"]
+
+
+def test_line_dedup_shuffle_fallback_matches_broadcast(spark):
+    # ADVICE r3: the boilerplate set is not provably bounded, so the
+    # broadcast is guarded — the forced-shuffle path must be
+    # result-identical to the forced-broadcast path (and to auto)
+    rows = [(i, f"shared header\nunique body {i}\nshared footer")
+            for i in range(12)]
+    df = _docs(spark, rows)
+
+    def run(flag):
+        return {
+            r["doc_id"]: (r["n_lines"], r["n_dropped"], r["clean_text"])
+            for r in line_dedup(df, min_docs=10,
+                                broadcast_common=flag).collect()
+        }
+
+    bcast, shuffle, auto = run(True), run(False), run(None)
+    assert bcast == shuffle == auto
+    assert bcast[3] == (3, 2, "unique body 3")

@@ -234,3 +234,47 @@ def test_randomized_vs_python_reference(spark):
             ).collect()
         }
         assert got == py_prox(a, b, w), (a, b, w)
+
+
+def test_positional_delta_last_run_wins(spark):
+    """A doc re-landed by a positional delta run supersedes its old
+    positions in the query kernels (per-term doc-level last-run-wins,
+    _PosList) — the same upsert contract the TF segments have."""
+    v1 = spark.createDataFrame(
+        [(1, ["alpha", "beta", "gamma"]), (2, ["beta", "gamma"])],
+        "doc_id long, lemmas array<string>",
+    )
+    v2 = spark.createDataFrame(  # doc 1 re-landed: "gamma alpha"
+        [(1, ["gamma", "alpha"])], "doc_id long, lemmas array<string>"
+    )
+    segs = build_positional_segments(v1, n_shards=2, run_id=0).unionByName(
+        build_positional_segments(v2, n_shards=2, run_id=1)
+    )
+    # matches only the NEW version's order...
+    got = phrase_search_packed_terms(spark, segs, ["gamma", "alpha"]).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in got] == [(1, 1)]
+    # ...and the OLD version's order no longer matches (alpha's
+    # positions come from run 1)
+    assert (
+        phrase_search_packed_terms(spark, segs, ["alpha", "beta"]).count()
+        == 0
+    )
+
+
+def test_unpack_repack_positional_roundtrip(spark, prepared, pos_segments):
+    """unpack_positional → repack_positional reproduces the packed
+    runs byte-identically (the compaction kernel is lossless)."""
+    from searchengine_spark.index.positional import (
+        repack_positional,
+        unpack_positional,
+    )
+
+    repacked = repack_positional(unpack_positional(pos_segments))
+    a = {(r["term"], r["shard"]): r for r in pos_segments.collect()}
+    b = {(r["term"], r["shard"]): r for r in repacked.collect()}
+    assert a.keys() == b.keys()
+    for k, ra in a.items():
+        rb = b[k]
+        for col in ("n_docs", "doc_ids", "counts", "positions",
+                    "block_last_doc", "block_off_pos"):
+            assert ra[col] == rb[col], (k, col)

@@ -71,12 +71,35 @@ def built(spark, tmp_path_factory):
     n, avgdl = corpus_constants(idx.doc_stats)
     write_segments(build_segments(idx, n, avgdl, n_shards=N_SHARDS),
                    f"{inc}/segments")
+    # positional layer: base snapshot (run 0) + delta run (run 1),
+    # folded by the SAME refresh below (lifecycle parity)
+    from searchengine_spark.index.positional import (
+        build_positional_segments,
+        write_positional_segments,
+    )
+    from searchengine_spark.operators.postings import prepare_docs
+
+    write_positional_segments(
+        build_positional_segments(
+            prepare_docs(base_docs, use_html=True).select("doc_id", "lemmas"),
+            N_SHARDS,
+        ),
+        f"{inc}/possegs",
+    )
     prepared = prepare_docs_counts(delta, use_html=True)
     write_delta_run(
         spark, prepared, inc, idx.term_stats, n_docs=n, avgdl=avgdl,
         n_shards=N_SHARDS, run_id=1,
     )
+    write_positional_segments(
+        build_positional_segments(
+            prepare_docs(delta, use_html=True).select("doc_id", "lemmas"),
+            N_SHARDS, run_id=1,
+        ),
+        f"{inc}/possegs", mode="append",
+    )
     r_idx, r_segs = refresh_and_repack(spark, inc)
+    r_pos = spark.read.parquet(f"{inc}/possegs")
 
     # --- cold path: the same corpus state built from scratch ---
     cold_docs = base_docs.join(
@@ -89,8 +112,16 @@ def built(spark, tmp_path_factory):
     cn, cavgdl = corpus_constants(cidx.doc_stats)
     write_segments(build_segments(cidx, cn, cavgdl, n_shards=N_SHARDS),
                    f"{cold}/segments")
+    write_positional_segments(
+        build_positional_segments(
+            prepare_docs(cold_docs, use_html=True).select("doc_id", "lemmas"),
+            N_SHARDS,
+        ),
+        f"{cold}/possegs",
+    )
     c_segs = spark.read.parquet(f"{cold}/segments")
-    return r_idx, r_segs, cidx, c_segs, (cn, cavgdl)
+    c_pos = spark.read.parquet(f"{cold}/possegs")
+    return r_idx, r_segs, cidx, c_segs, (cn, cavgdl), r_pos, c_pos
 
 
 def _seg_key(r):
@@ -98,7 +129,7 @@ def _seg_key(r):
 
 
 def test_segments_byte_identical_to_cold_rebuild(built):
-    _, r_segs, _, c_segs, _ = built
+    _, r_segs, _, c_segs, _, _, _ = built
     rows_r = {_seg_key(r): r for r in r_segs.collect()}
     rows_c = {_seg_key(r): r for r in c_segs.collect()}
     assert rows_r.keys() == rows_c.keys()
@@ -114,7 +145,7 @@ def test_segments_byte_identical_to_cold_rebuild(built):
 
 
 def test_idx_tables_identical_to_cold_rebuild(built):
-    r_idx, _, cidx, _, (cn, cavgdl) = built
+    r_idx, _, cidx, _, (cn, cavgdl), _, _ = built
     rn, ravgdl = corpus_constants(r_idx.doc_stats)
     assert (rn, ravgdl) == (cn, cavgdl)
 
@@ -135,7 +166,7 @@ def test_idx_tables_identical_to_cold_rebuild(built):
 def test_doc_level_supersede_drops_removed_terms(spark, built):
     """An updated doc's OLD terms must stop matching after refresh,
     and the new term must match with exact refreshed stats."""
-    r_idx, r_segs, _, _, _ = built
+    r_idx, r_segs, _, _, _, _, _ = built
     n, avgdl = corpus_constants(r_idx.doc_stats)
     hits = search_packed(
         spark, r_segs, r_idx.term_stats, n, avgdl, NEWTERM, k=20
@@ -373,3 +404,19 @@ def test_tombstone_tied_run_id_still_deletes(spark, tmp_path):
     r_idx, _ = refresh_and_repack(spark, inc)
     assert r_idx.doc_stats.filter(F.col("doc_id") == victim).count() == 0
     assert r_idx.postings.filter(F.col("doc_id") == victim).count() == 0
+
+
+def test_positional_segments_byte_identical_to_cold_rebuild(built):
+    """Compaction folds positional delta runs and reproduces EXACTLY
+    what a cold positional build of the current corpus state produces
+    — the same byte-identity contract the TF segments have."""
+    *_, r_pos, c_pos = built
+    rows_r = {(r["term"], r["shard"]): r for r in r_pos.collect()}
+    rows_c = {(r["term"], r["shard"]): r for r in c_pos.collect()}
+    assert rows_r.keys() == rows_c.keys()
+    for k, rr in rows_r.items():
+        rc = rows_c[k]
+        assert rr["run_id"] == rc["run_id"] == 0, k
+        for col in ("n_docs", "doc_ids", "counts", "positions",
+                    "block_last_doc", "block_off_pos"):
+            assert rr[col] == rc[col], (k, col)

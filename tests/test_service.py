@@ -169,3 +169,44 @@ def test_phrase_endpoint_matches_scan(spark, served):
     assert svc.phrase("", limit=5) == {
         "result": True, "count": 0, "data": [],
     }
+
+
+def test_title_roundtrip_including_delta_page(spark, served):
+    """SearchItem.title parity (reference model/response/SearchItem):
+    titles captured at index time are served on every hit, including a
+    page landed through the index_page delta path."""
+    svc, idx, constants = served
+    resp = svc.search("быстрый поиск", limit=5)
+    assert resp["data"]
+    for d in resp["data"]:
+        # corpus titles are the doc's first three words (sources/corpus.py)
+        assert d["title"] and len(d["title"].split()) == 3
+
+    r = svc.index_page(
+        "https://site1.example/titled-page",
+        html="<html><head><title> Заголовок Тест </title></head>"
+             "<body><p>заголовочнаястраница контент</p></body></html>",
+    )
+    assert r["result"] is True
+    got = svc.search("заголовочнаястраница")
+    assert got["count"] == 1
+    assert got["data"][0]["title"] == "Заголовок Тест"
+
+
+def test_index_page_phrase_visible_immediately(spark, served):
+    """Positional lifecycle parity (VERDICT r3 #2): a page landed by
+    index_page becomes phrase-searchable IMMEDIATELY via a positional
+    delta run — no refresh_positional(), no compaction."""
+    svc, idx, constants = served
+    svc.phrase("быстрый поиск")  # force the positional snapshot build
+    r = svc.index_page(
+        "https://site2.example/phrase-new",
+        text="уникальнофразовый хвостослово проверка",
+    )
+    assert r["result"] is True
+    got = svc.phrase("уникальнофразовый хвостослово")
+    assert got["count"] == 1
+    assert got["data"][0]["doc_id"] == r["doc_id"]
+    assert got["data"][0]["url"] == "https://site2.example/phrase-new"
+    # reversed order is NOT a phrase match
+    assert svc.phrase("хвостослово уникальнофразовый")["count"] == 0
