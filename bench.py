@@ -48,11 +48,17 @@ def pctl(xs, q):
 # This VM shows sustained host-level degradation episodes (identical
 # JVM startup: 15 s good phase vs 846 s bad; single-pass timings move
 # 2-4x uniformly across unchanged code). Each bench run therefore
-# self-reports its phase with two fixed-work kernels, timed min-of-3:
-#   cpu_md5: 200 MB through Python hashlib.md5 (single-core CPU +
-#            memory bandwidth; no Spark, no disk)
-#   jvm_sum: sum(range(0, 2*10^8)) inside Spark whole-stage codegen
-#            (JVM + scheduler + multicore)
+# self-reports its phase with three fixed-work kernels, timed min-of-3:
+#   cpu_md5:    200 MB through Python hashlib.md5 (single-core CPU +
+#               hot-cache memory; no Spark, no disk)
+#   mem_commit: commit+touch 512 MB of FRESH pages — the axis the
+#               other two can't see (they run in already-committed
+#               memory); this is the mode that slows JVM heap
+#               pretouch, Python worker spawn, and page-cache growth
+#               under shuffle/parquet writes (observed 13 MB/s vs
+#               multi-GB/s on this box)
+#   jvm_sum:    sum(range(0, 2*10^8)) inside Spark whole-stage codegen
+#               (JVM + scheduler + multicore)
 # Reference values are the best idle-box measurements recorded on this
 # hardware (see BASELINE.md "Host phase calibration"); a probe is IN
 # BAND when within PROBE_BAND x the reference. If the start probe is
@@ -63,9 +69,18 @@ def pctl(xs, q):
 # phase recovers within the wait budget.
 PROBE_REF_CPU_MD5 = 0.36   # sec, idle-box best (min-of-3)
 PROBE_REF_JVM_SUM = 0.35   # sec, idle-box best (min-of-3), local[32]
+# Third kernel, added after a run whose cpu_md5/jvm_sum probes were
+# in band while the host was in a memory-COMMIT degradation phase
+# (fresh 2 GB commit+touch measured 13 MB/s; the first two kernels
+# run in already-committed memory so they can't see that mode —
+# it hits exactly the phases that matter: JVM heap pretouch, Python
+# worker spawn, page-cache growth during shuffle/parquet writes).
+# Kernel: commit+touch 512 MB of fresh pages, min-of-3.
+PROBE_REF_MEM_COMMIT = 0.25  # sec, idle-box best (min-of-3)
 PROBE_BAND = 2.0
-PROBE_WAIT_TRIES = 6       # bounded wait: 6 probes x 60 s
-PROBE_WAIT_SEC = 60
+PROBE_BAND_MEM = 4.0       # commit bandwidth is the noisiest axis
+PROBE_WAIT_TRIES = 8       # bounded wait: 8 probes x 90 s
+PROBE_WAIT_SEC = 90
 
 
 def _probe_cpu_md5() -> float:
@@ -82,6 +97,18 @@ def _probe_cpu_md5() -> float:
     return best
 
 
+def _probe_mem_commit() -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        b = bytearray(512 * 1024 * 1024)   # fresh commit every pass
+        for i in range(0, len(b), 4096):   # touch every page
+            b[i] = 1
+        best = min(best, time.monotonic() - t0)
+        del b
+    return best
+
+
 def _probe_jvm_sum(spark) -> float:
     best = float("inf")
     for _ in range(3):
@@ -93,13 +120,16 @@ def _probe_jvm_sum(spark) -> float:
 
 def run_probe(spark) -> dict:
     cpu = _probe_cpu_md5()
+    mem = _probe_mem_commit()
     jvm = _probe_jvm_sum(spark)
     return {
         "cpu_md5_sec": round(cpu, 4),
+        "mem_commit_sec": round(mem, 4),
         "jvm_sum_sec": round(jvm, 4),
         "in_band": bool(
             cpu <= PROBE_BAND * PROBE_REF_CPU_MD5
             and jvm <= PROBE_BAND * PROBE_REF_JVM_SUM
+            and mem <= PROBE_BAND_MEM * PROBE_REF_MEM_COMMIT
         ),
     }
 
@@ -243,6 +273,50 @@ def main() -> None:
         lat.append(dt)
         queries[f"wand_q{qid}"] = dt
 
+    # ---- pruning effectiveness: block-max WAND observability ---------------
+    # blocks actually decompressed vs total across the reference set's
+    # disjunctive + conjunctive shapes (index/wand.py wand_shard_metrics)
+    # — the measurable effect of essential-list + aligned block-max
+    # pruning and lazy block lookup
+    dec = tot = 0
+    for qid, qtext, site, offset, limit, mode, conj in QUERIES:
+        if mode != "bm25" or site is not None:
+            continue
+        mrows = wand.search_packed_metrics(
+            spark, segments, term_stats, n_docs, avgdl, qtext,
+            k=offset + limit, conjunctive=conj, df_map=df_map,
+        ).collect()
+        dec += sum(r["n_blocks_decoded"] for r in mrows)
+        tot += sum(r["n_blocks"] for r in mrows)
+    blocks_decoded_pct = round(100.0 * dec / tot, 2) if tot else 0.0
+
+    # ---- warm-server latency: the serving tier (service.py) ---------------
+    # The per-request number a deployed engine shows: SearchService keeps
+    # segments/meta/df_map hot and answers each request with ONE fused
+    # WAND kernel pass (top-k + pre-pagination count together). Timed
+    # over the same 14-query reference set as the raw packed path above,
+    # so wand_q* vs service_* isolates the serving-layer overhead
+    # (response assembly, meta join) from the kernel.
+    from searchengine_spark.service import SearchService
+
+    svc = SearchService(
+        spark, tmp,
+        docs_text=prepare_docs(docs, use_html=True).select("doc_id", "text"),
+    )
+    svc_lat = []
+    for qid, qtext, site, offset, limit, mode, conj in QUERIES:
+        svc_lat.append(timed(
+            lambda: svc.search(qtext, site=site, offset=offset, limit=limit,
+                               mode=mode, conjunctive=conj)
+        ))
+    queries["service_search_median"] = pctl(svc_lat, 0.50)
+    queries["service_snippets"] = timed(
+        lambda: svc.search("быстрый поиск слова", snippets=True)
+    )
+    queries["service_phrase"] = timed(lambda: svc.phrase("быстрый поиск"))
+    queries["service_statistics"] = timed(lambda: svc.statistics())
+    svc.close()
+
     # relational-path flagship query for comparison (one warmup run —
     # a query server serves from a warm session)
     rsearch.search(spark, index, "данные", k=20,
@@ -307,7 +381,9 @@ def main() -> None:
             "ref": {
                 "cpu_md5_sec": PROBE_REF_CPU_MD5,
                 "jvm_sum_sec": PROBE_REF_JVM_SUM,
+                "mem_commit_sec": PROBE_REF_MEM_COMMIT,
                 "band": PROBE_BAND,
+                "band_mem": PROBE_BAND_MEM,
             },
             "start": probe_start,
             "start_wait_tries": start_tries,
@@ -317,6 +393,9 @@ def main() -> None:
         },
         "query_p50_sec": round(pctl(lat, 0.50), 4),
         "query_p95_sec": round(pctl(lat, 0.95), 4),
+        "service_p50_sec": round(pctl(svc_lat, 0.50), 4),
+        "service_p95_sec": round(pctl(svc_lat, 0.95), 4),
+        "wand_blocks_decoded_pct": blocks_decoded_pct,
         "noise_protocol": (
             f"min-of-{runs} per query (build/pack/heavy min-of-2, "
             "gen_corpus single-pass after an untimed Python-worker "

@@ -64,7 +64,32 @@ def worker(cores: int, docs_path: str, passes: int = 2) -> None:
         # multi-second intermittent stalls unrelated to the workload;
         # min-of-2 measures the engine, not the hypervisor
         per_pass = []
+        probes = []
         for i in range(passes):
+            # per-pass host-phase attestation (see bench.py "Host phase
+            # calibration"): cpu_md5 and mem_commit are Spark-free and
+            # core-count independent, so one reference serves every
+            # level — a pass whose probe is out of band is a
+            # degraded-phase artifact, not an engine number
+            from bench import (
+                PROBE_BAND,
+                PROBE_BAND_MEM,
+                PROBE_REF_CPU_MD5,
+                PROBE_REF_MEM_COMMIT,
+                _probe_cpu_md5,
+                _probe_mem_commit,
+            )
+
+            pr_cpu = _probe_cpu_md5()
+            pr_mem = _probe_mem_commit()
+            probes.append({
+                "cpu_md5_sec": round(pr_cpu, 4),
+                "mem_commit_sec": round(pr_mem, 4),
+                "in_band": bool(
+                    pr_cpu <= PROBE_BAND * PROBE_REF_CPU_MD5
+                    and pr_mem <= PROBE_BAND_MEM * PROBE_REF_MEM_COMMIT
+                ),
+            })
             t0 = time.monotonic()
             idx = materialize_index(spark, docs, f"{tmp}/idx", use_html=True)
             t_index = time.monotonic() - t0
@@ -78,6 +103,7 @@ def worker(cores: int, docs_path: str, passes: int = 2) -> None:
         stages["index"] = round(ti, 3)
         stages["pack"] = round(tp, 3)
         stages["passes"] = [round(p[0], 3) for p in per_pass]
+        stages["probes"] = probes
 
         segments = spark.read.parquet(f"{tmp}/segments").cache()
         segments.count()

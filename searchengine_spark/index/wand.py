@@ -58,7 +58,7 @@ class _TermList:
     when a single run with block offsets is present, eager otherwise."""
 
     __slots__ = (
-        "n", "df", "block_last", "block_max", "gmax",
+        "n", "df", "block_last", "block_max", "gmax", "n_decoded",
         "_n_docs", "_avgdl", "_mode",
         "_bids", "_btfs", "_bdls", "_oids", "_otfs", "_odls",
         "_cache", "_full",
@@ -70,6 +70,7 @@ class _TermList:
         self.df = int(rows["df"].iloc[0])
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._full = None
+        self.n_decoded = 0  # blocks actually decompressed (metrics)
         lazy = (
             len(rows) == 1
             and mode == "bm25"
@@ -114,6 +115,7 @@ class _TermList:
         self._full = (ids, scores)
         self.n = len(ids)
         n_blocks = -(-self.n // BLOCK) if self.n else 0
+        self.n_decoded = n_blocks  # eager path decompresses everything
         self.block_last = np.array(
             [ids[min((i + 1) * BLOCK, self.n) - 1] for i in range(n_blocks)],
             dtype=np.int64,
@@ -167,6 +169,7 @@ class _TermList:
         ).astype(np.int64)
         out = (ids, self._score(tfs, dls))
         self._cache[b] = out
+        self.n_decoded += 1
         return out
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
@@ -268,6 +271,85 @@ def _theta_seed(
     return float(np.partition(scores, -k)[-k])
 
 
+def _disjunctive_candidates(
+    lists: list["_TermList"], theta: float
+) -> np.ndarray:
+    """Sorted unique docIDs that could still reach θ in a disjunctive
+    (OR) query — the block-selection heart of batch-style block-max
+    WAND. Two classic cuts compose (both public-literature standards:
+    essential lists from Broder et al. 2003 "Efficient query
+    evaluation using a two-level retrieval process"; aligned per-block
+    bounds from Ding & Suel 2011 "Faster top-k document retrieval
+    using block-max indexes"):
+
+    1. ESSENTIAL-LIST CUT — sort lists by global max ascending; the
+       largest prefix whose Σ gmax < θ is non-essential: a doc
+       appearing ONLY there has total ≤ that Σ < θ. Candidates need
+       only come from the remaining (essential) lists' blocks;
+       non-essential lists are probe-only (exact lookup later).
+    2. ALIGNED BLOCK-MAX — a block b of essential term t is kept iff
+         t.bmax[b] + Σ_{u≠t} rangemax_u(span(b)) ≥ θ
+       where span(b) is b's docID interval and rangemax_u is the max
+       of u's block maxima over u-blocks OVERLAPPING that interval
+       (computed from the block_last fences — no decode). This is
+       strictly tighter than the global Σ gmax bound: a companion
+       term's high-scoring region only inflates the bound for blocks
+       that actually share its docID range.
+
+    Soundness: for a true top-k doc d (total(d) ≥ θ), take t* =
+    argmax_u score_u(d) and b* = t*'s block holding d. Every u with
+    d ∈ u has its d-holding block overlapping span(b*), so
+    rangemax_u(span(b*)) ≥ score_u(d); terms without d contribute
+    ≥ 0. Hence bound(t*, b*) ≥ total(d) ≥ θ — some block holding d
+    always survives, and survivors are scored EXACTLY afterwards
+    (lookup decodes their true postings), so pruned ≡ exhaustive
+    rank/score-identically (tests/test_segments_wand.py hypothesis
+    suites)."""
+    live = [t for t in lists if t.n > 0]
+    if not live:
+        return np.empty(0, np.int64)
+    if theta <= 0.0:  # nothing prunable — every posting is a candidate
+        return np.unique(
+            np.concatenate([t.decode_all()[0] for t in live])
+        )
+    live.sort(key=lambda t: t.gmax)
+    acc = 0.0
+    split = 0
+    for i, t in enumerate(live):
+        if acc + t.gmax < theta:
+            acc += t.gmax
+            split = i + 1
+        else:
+            break
+    essential = live[split:]
+    survivors: list[np.ndarray] = []
+    for t in essential:
+        nb = len(t.block_last)
+        if nb == 0:
+            continue
+        lo = np.empty(nb, dtype=np.int64)
+        lo[0] = np.iinfo(np.int64).min  # block 0's floor is unrecorded
+        lo[1:] = t.block_last[:-1] + 1
+        hi = t.block_last
+        bound = t.block_max.copy()
+        for u in live:
+            if u is t:
+                continue
+            j_lo = np.searchsorted(u.block_last, lo, side="left")
+            j_hi = np.minimum(
+                np.searchsorted(u.block_last, hi, side="left"),
+                len(u.block_last) - 1,
+            )
+            for b in range(nb):
+                if j_lo[b] <= j_hi[b]:
+                    bound[b] += u.block_max[j_lo[b] : j_hi[b] + 1].max()
+        for b in np.flatnonzero(bound >= theta):
+            survivors.append(t.block_ids(int(b)))
+    if not survivors:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(survivors))
+
+
 def _topk_frame(cand, scores, n_hit, k: int) -> pd.DataFrame:
     n = len(cand)
     if n > k:
@@ -355,24 +437,17 @@ def wand_shard_topk(
         n_hit = np.full(len(cand), len(lists), dtype=np.int64)
         return _topk_frame(cand, scores, n_hit, k)
 
-    # disjunctive: block-max pruning, then exact scoring of survivors
+    # disjunctive: essential-list cut + aligned block-max pruning
+    # (_disjunctive_candidates), then exact scoring of survivors
     # (legacy mode: no sound block bound for sum/max → no pruning)
     shortest = min(lists, key=lambda t: t.n)
     theta = (
         _theta_seed(shortest, k, allowed, excluded)
         if mode == "bm25" else 0.0
     )
-    gmax_sum = sum(t.gmax for t in lists)
-    survivors = []
-    for t in lists:
-        if t.n == 0:
-            continue
-        bound = t.block_max + (gmax_sum - t.gmax)
-        for b in np.flatnonzero(bound >= theta):
-            survivors.append(t.block_ids(int(b)))
-    if not survivors:
+    cand = _disjunctive_candidates(lists, theta)
+    if len(cand) == 0:
         return _empty_topk(k)
-    cand = np.unique(np.concatenate(survivors))
     if allowed is not None:
         cand = _intersect_sorted(cand, allowed)
     if excluded is not None:
@@ -488,6 +563,168 @@ def wand_shard_topk_count(
         scores = np.divide(scores, maxs, out=np.zeros_like(scores),
                            where=maxs > 0)
     return with_count(_topk_frame(cand, scores, n_hit, k), len(cand))
+
+
+METRICS_OUT_SCHEMA = (
+    "shard int, n_terms_present int, n_postings long, n_blocks long, "
+    "n_blocks_decoded long, n_candidates long, n_scored long, theta double"
+)
+
+
+def wand_shard_metrics(
+    pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int,
+    conjunctive: bool, n_terms: int, mode: str = "bm25",
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """One shard's PRUNING-EFFECTIVENESS counters for a query — the
+    observability face of the block-max WAND kernel (per-partition
+    metrics are a north-rule requirement for the build; this is the
+    query-side analog). Replays wand_shard_topk's exact candidate
+    logic but emits ONE row of counters instead of the top-k:
+
+      n_postings        Σ postings across this shard's query terms
+      n_blocks          Σ compressed blocks across those terms
+      n_blocks_decoded  blocks actually decompressed — the rest were
+                        skipped by block-max pruning / lazy lookup
+      n_candidates      docs entering the probe phase (conjunctive:
+                        driving-list survivors after site/tombstone
+                        filters; disjunctive: union of docs in
+                        θ-surviving blocks, post filters)
+      n_scored          docs fully scored (conjunctive: the final
+                        intersection; disjunctive: == n_candidates)
+      theta             the θ lower bound used for block pruning
+                        (0.0 when pruning is off: conjunctive/legacy)
+
+    Decision-for-decision parity with wand_shard_topk is pinned by
+    tests (conjunctive n_scored == the fused kernel's match count;
+    disjunctive n_blocks_decoded == n_blocks when θ seeds 0)."""
+    shard = int(pdf["shard"].iloc[0]) if len(pdf) else -1
+
+    def row(lists, n_cand, n_scored, theta):
+        return pd.DataFrame({
+            "shard": np.array([shard], np.int32),
+            "n_terms_present": np.array([len(lists)], np.int32),
+            "n_postings": np.array([sum(t.n for t in lists)], np.int64),
+            "n_blocks": np.array(
+                [sum(len(t.block_last) for t in lists)], np.int64
+            ),
+            "n_blocks_decoded": np.array(
+                [sum(t.n_decoded for t in lists)], np.int64
+            ),
+            "n_candidates": np.array([n_cand], np.int64),
+            "n_scored": np.array([n_scored], np.int64),
+            "theta": np.array([theta], np.float64),
+        })
+
+    if allowed is not None and len(allowed) == 0:
+        return row([], 0, 0, 0.0)
+    lists = [
+        _TermList(rows, n_docs, avgdl, mode)
+        for _, rows in pdf.groupby("term", sort=False)
+    ]
+    if not lists:
+        return row([], 0, 0, 0.0)
+
+    if conjunctive:
+        if len(lists) < n_terms:
+            return row(lists, 0, 0, 0.0)
+        lists.sort(key=lambda t: t.n)
+        cand = lists[0].decode_all()[0]
+        if allowed is not None:
+            cand = _intersect_sorted(cand, allowed)
+        if excluded is not None:
+            cand = _setdiff_sorted(cand, excluded)
+        n_cand = len(cand)
+        for t in lists[1:]:
+            if len(cand) == 0:
+                break
+            _, present = t.lookup(cand)
+            cand = cand[present]
+        for t in lists:  # scoring pass decodes nothing new beyond lookup
+            t.lookup(cand)
+        return row(lists, n_cand, len(cand), 0.0)
+
+    shortest = min(lists, key=lambda t: t.n)
+    theta = (
+        _theta_seed(shortest, k, allowed, excluded)
+        if mode == "bm25" else 0.0
+    )
+    cand = _disjunctive_candidates(lists, theta)
+    if allowed is not None:
+        cand = _intersect_sorted(cand, allowed)
+    if excluded is not None:
+        cand = _setdiff_sorted(cand, excluded)
+    for t in lists:
+        t.lookup(cand)
+    return row(lists, len(cand), len(cand), theta)
+
+
+def search_packed_metrics(
+    spark,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    k: int = 20,
+    conjunctive: bool = True,
+    max_rel_freq: float = 0.95,
+    df_map: dict | None = None,
+    mode: str = "bm25",
+    site: str | None = None,
+    doc_stats: DataFrame | None = None,
+    n_shards: int | None = None,
+    excluded_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Per-shard pruning/decode counters for a query (see
+    wand_shard_metrics) → DataFrame(METRICS_OUT_SCHEMA), one row per
+    shard holding any query-term postings. Same plan shape as
+    search_packed — term-pruned scan, one kernel per shard — so the
+    counters describe exactly the work the serving path would do."""
+    lemmas = lemmatize_query(query)
+    terms = (
+        _resolve_terms(term_stats, n_docs, lemmas, max_rel_freq, df_map)
+        if lemmas else []
+    )
+    if not terms:
+        from ..operators.search import empty_df
+
+        return empty_df(spark, METRICS_OUT_SCHEMA)
+    n_terms = len(terms)
+    seg = segments.filter(F.col("term").isin(terms))
+    exc = (
+        np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
+        if excluded_doc_ids else None
+    )
+    if site is None:
+        return seg.groupBy("shard").applyInPandas(
+            lambda pdf: wand_shard_metrics(pdf, n_docs, avgdl, k,
+                                           conjunctive, n_terms, mode,
+                                           excluded=exc),
+            schema=METRICS_OUT_SCHEMA,
+        )
+    if doc_stats is None:
+        raise ValueError(
+            "site filter on the packed path needs doc_stats (doc_id, site)"
+        )
+    if n_shards is None:
+        n_shards = int(segments.agg(F.max("shard")).collect()[0][0]) + 1
+    members = _site_members(doc_stats, site, n_shards)
+
+    def _kernel(seg_pdf: pd.DataFrame, mem_pdf: pd.DataFrame):
+        allowed = np.sort(
+            mem_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+        )
+        return wand_shard_metrics(seg_pdf, n_docs, avgdl, k, conjunctive,
+                                  n_terms, mode, allowed=allowed,
+                                  excluded=exc)
+
+    return (
+        seg.groupby("shard")
+        .cogroup(members.groupby("shard"))
+        .applyInPandas(_kernel, schema=METRICS_OUT_SCHEMA)
+    )
 
 
 def _resolve_terms(

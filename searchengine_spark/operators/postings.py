@@ -167,10 +167,14 @@ def title_from_html(html_col):
     doc.title() in IndexingService): first <title> element,
     whitespace-trimmed, binary html decoded as UTF-8. Pure column
     math on the scan — no UDF, no shuffle."""
-    return F.trim(
+    # NOT F.trim: Spark trim strips only ' ' (0x20), so a
+    # "<title>\nFoo" keeps its newline — regexp-trim all whitespace
+    return F.regexp_replace(
         F.regexp_extract(
             html_col.cast("string"), r"(?is)<title[^>]*>(.*?)</title>", 1
-        )
+        ),
+        r"^\s+|\s+$",
+        "",
     )
 
 

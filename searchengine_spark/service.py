@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from .index.refresh import _doc_meta_resolved, recover
 from .index.segments import write_delta_run, write_tombstones
-from .index.wand import search_packed_fused
+from .index.wand import search_packed_fused, search_packed_metrics
 from .operators.postings import prepare_docs_counts, read_index
 from .operators.search import corpus_constants
 
@@ -150,6 +150,66 @@ class SearchService:
                 item["snippet"] = r["snippet"]
             data.append(item)
         return {"result": True, "count": count, "data": data}
+
+    # -- /api/explain (beyond-reference) --------------------------------------
+
+    def explain(
+        self,
+        query: str,
+        limit: int = 20,
+        site: str | None = None,
+        conjunctive: bool = True,
+        mode: str = "bm25",
+    ) -> dict:
+        """Query-execution observability: what the WAND kernels would
+        do for this request — resolved terms (post stop-filter and
+        high-DF pruning) with their document frequencies, and the
+        pruning counters summed over shards (index/wand.py
+        wand_shard_metrics): postings touched, compressed blocks total
+        vs actually decoded (the gap is block-max pruning + lazy
+        lookup skips), candidate/scored doc counts, and the largest
+        per-shard θ bound. The per-partition metrics the north rule
+        requires for the BUILD (index/manifest.py), extended to the
+        query side."""
+        from .index.wand import _resolve_terms
+        from .operators.search import lemmatize_query
+
+        lemmas = lemmatize_query(query)
+        terms = _resolve_terms(
+            self.term_stats, self.n_docs, lemmas, 0.95, self.df_map
+        )
+        out = {
+            "result": True,
+            "query": query,
+            "lemmas": lemmas,
+            "terms": [{"term": t, "df": self.df_map[t]} for t in terms],
+            "shards": 0,
+            "n_postings": 0,
+            "n_blocks": 0,
+            "n_blocks_decoded": 0,
+            "blocks_decoded_pct": 0.0,
+            "n_candidates": 0,
+            "n_scored": 0,
+            "theta_max": 0.0,
+        }
+        if not terms:
+            return out
+        rows = search_packed_metrics(
+            self.spark, self.segments, self.term_stats, self.n_docs,
+            self.avgdl, query, k=limit, conjunctive=conjunctive,
+            mode=mode, site=site, df_map=self.df_map,
+            doc_stats=self.serve_meta, n_shards=self.n_shards,
+            excluded_doc_ids=self.tombstoned,
+        ).collect()
+        out["shards"] = len(rows)
+        for f in ("n_postings", "n_blocks", "n_blocks_decoded",
+                  "n_candidates", "n_scored"):
+            out[f] = int(sum(r[f] for r in rows))
+        out["theta_max"] = float(max((r["theta"] for r in rows), default=0.0))
+        out["blocks_decoded_pct"] = round(
+            100.0 * out["n_blocks_decoded"] / out["n_blocks"], 2
+        ) if out["n_blocks"] else 0.0
+        return out
 
     # -- /api/phrase (beyond-reference) --------------------------------------
 
