@@ -63,10 +63,11 @@ def pctl(xs, q):
 # hardware (see BASELINE.md "Host phase calibration"); a probe is IN
 # BAND when within PROBE_BAND x the reference. If the start probe is
 # out of band the harness waits (bounded) for the phase to pass, and
-# if the phase degrades mid-run (end probe out of band) the build/pack
-# stages are re-measured once after the wait protocol so the headline
-# docs/sec number is attributable to an in-band phase whenever the
-# phase recovers within the wait budget.
+# if the phase degrades mid-run (end probe out of band) the headline
+# stages — build/pack AND the wand/service latency sets — are
+# re-measured once after the wait protocol, so the docs/sec and
+# query-latency numbers are attributable to an in-band phase whenever
+# the phase recovers within the wait budget.
 PROBE_REF_CPU_MD5 = 0.36   # sec, idle-box best (min-of-3)
 PROBE_REF_JVM_SUM = 0.35   # sec, idle-box best (min-of-3), local[32]
 # Third kernel, added after a run whose cpu_md5/jvm_sum probes were
@@ -260,17 +261,23 @@ def main() -> None:
     )
 
     # ---- query latency: FULL reference query set over the packed index ----
-    lat = []
-    for qid, qtext, site, offset, limit, mode, conj in QUERIES:
-        dt = timed(
-            lambda: wand.search_packed(
-                spark, segments, term_stats, n_docs, avgdl, qtext,
-                k=limit, conjunctive=conj, mode=mode, site=site,
-                offset=offset, doc_stats=doc_stats, n_shards=n_shards,
-                df_map=df_map,
-            ).collect()
-        )
-        lat.append(dt)
+    def _time_wand_set() -> list[float]:
+        """min-of-N latency per reference query; re-runnable so the
+        end-of-run phase protocol can re-measure a polluted set."""
+        out = []
+        for qid, qtext, site, offset, limit, mode, conj in QUERIES:
+            out.append(timed(
+                lambda: wand.search_packed(
+                    spark, segments, term_stats, n_docs, avgdl, qtext,
+                    k=limit, conjunctive=conj, mode=mode, site=site,
+                    offset=offset, doc_stats=doc_stats, n_shards=n_shards,
+                    df_map=df_map,
+                ).collect()
+            ))
+        return out
+
+    lat = _time_wand_set()
+    for (qid, *_), dt in zip(QUERIES, lat):
         queries[f"wand_q{qid}"] = dt
 
     # ---- pruning effectiveness: block-max WAND observability ---------------
@@ -303,19 +310,23 @@ def main() -> None:
         spark, tmp,
         docs_text=prepare_docs(docs, use_html=True).select("doc_id", "text"),
     )
-    svc_lat = []
-    for qid, qtext, site, offset, limit, mode, conj in QUERIES:
-        svc_lat.append(timed(
-            lambda: svc.search(qtext, site=site, offset=offset, limit=limit,
-                               mode=mode, conjunctive=conj)
-        ))
+    def _time_service_set() -> list[float]:
+        return [
+            timed(lambda: svc.search(qtext, site=site, offset=offset,
+                                     limit=limit, mode=mode,
+                                     conjunctive=conj))
+            for qid, qtext, site, offset, limit, mode, conj in QUERIES
+        ]
+
+    svc_lat = _time_service_set()
     queries["service_search_median"] = pctl(svc_lat, 0.50)
     queries["service_snippets"] = timed(
         lambda: svc.search("быстрый поиск слова", snippets=True)
     )
     queries["service_phrase"] = timed(lambda: svc.phrase("быстрый поиск"))
     queries["service_statistics"] = timed(lambda: svc.statistics())
-    svc.close()
+    # svc stays open: the end-of-run phase protocol may re-measure the
+    # service set (closed right before the final JSON below)
 
     # relational-path flagship query for comparison (one warmup run —
     # a query server serves from a warm session)
@@ -350,19 +361,35 @@ def main() -> None:
         queries[name] = timed(lambda: fn(spark, sf_dir).collect(), n=n)
 
     # end-of-run probe; if either probe was out of band, wait for the
-    # phase to pass and re-measure the headline build/pack stages once
-    # so BENCH reports an in-band docs/sec whenever possible
+    # phase to pass and re-measure the headline stages once — build/
+    # pack AND the wand/service latency sets (a mid-run degradation
+    # episode otherwise pollutes query_p95 even under min-of-N: all N
+    # repetitions of one query land inside the same episode) — so
+    # BENCH reports in-band numbers whenever the phase recovers
     probe_end = run_probe(spark)
     retry_tries = 0
     build_remeasured = False
     if not (probe_start["in_band"] and probe_end["in_band"]):
         probe_end, retry_tries = wait_for_in_band(spark)
         if probe_end["in_band"]:
+            # query sets FIRST: they read the cached segments frames,
+            # whose file listings still point at the current part
+            # files — re-running _build/_pack overwrites those dirs,
+            # and a cache eviction mid-remeasure would then surface as
+            # FileNotFound on the stale listing
+            lat = [min(a, b) for a, b in zip(lat, _time_wand_set())]
+            for (qid, *_), dt in zip(QUERIES, lat):
+                queries[f"wand_q{qid}"] = dt
+            svc_lat = [
+                min(a, b) for a, b in zip(svc_lat, _time_service_set())
+            ]
+            queries["service_search_median"] = pctl(svc_lat, 0.50)
             t_build = min(t_build, timed(_build, n=1))
             t_pack = min(t_pack, timed(_pack, n=1))
             queries["build_index"] = t_build
             queries["pack_segments"] = t_pack
             build_remeasured = True
+    svc.close()
 
     total = time.monotonic() - t_total0
     shutil.rmtree(tmp, ignore_errors=True)
@@ -407,7 +434,8 @@ def main() -> None:
             "on the first timed pass; phase_probe self-reports the "
             "host phase (fixed-work CPU + JVM kernels vs idle-box "
             "reference) with a bounded wait-then-remeasure protocol "
-            "for the headline build/pack stages"
+            "for the headline build/pack stages and the wand/service "
+            "latency sets"
         ),
     }
     # latest two-cluster-size scaling evidence (scripts/scaling.py →

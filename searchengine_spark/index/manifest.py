@@ -45,6 +45,21 @@ def manifest_path(base: str) -> str:
     return f"{base}/build_manifest"
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence via the Hadoop FileSystem API — correct on ANY
+    filesystem an index base can live on (local, file:, hdfs://,
+    s3a://). An os.path probe silently reports "missing" for every
+    URI-style base, which turns layer-presence gates (e.g. "does this
+    index carry a positional layer?") into silent no-ops exactly where
+    clusters run. (index/refresh.py's two-rename snapshot swap remains
+    deliberately local-FS: it is the documented local stand-in for the
+    Iceberg MERGE/snapshot path, see refresh.py module docstring.)"""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def read_manifest(spark: SparkSession, base: str) -> DataFrame:
     """Empty frame when no manifest exists yet — including a dir a
     killed build created but never landed a parquet file in (a crash

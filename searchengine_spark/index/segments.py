@@ -279,7 +279,7 @@ def write_tombstones(
     meta resolution), so passing run_id >= the doc's latest run always
     deletes. Returns the number of tombstones written (ids not in the
     index are no-ops)."""
-    import os
+    from .manifest import fs_exists
 
     def _tcol(df):
         col = F.col("title") if "title" in df.columns else F.lit(None)
@@ -292,7 +292,7 @@ def write_tombstones(
     # existence check — a read failure on an existing dir must
     # propagate, not silently no-op the deletions
     delta_path = f"{index_base}/idx/doc_meta_runs"
-    if os.path.isdir(delta_path):
+    if fs_exists(spark, delta_path):
         raw = spark.read.parquet(delta_path)
         meta = meta.unionByName(
             raw.select("doc_id", "url", "site", _tcol(raw))

@@ -192,6 +192,13 @@ class _TermList:
             return self._full[0][b * BLOCK : (b + 1) * BLOCK]
         return self._decode_block(b)[0]
 
+    def block_scores(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, scores) of one block — decodes only that block."""
+        if self._full is not None:
+            s = slice(b * BLOCK, (b + 1) * BLOCK)
+            return self._full[0][s], self._full[1][s]
+        return self._decode_block(b)
+
     def lookup(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(scores, present_mask) for sorted candidate ids — decodes
         only the blocks candidates fall in."""
@@ -247,25 +254,50 @@ def _setdiff_sorted(cand: np.ndarray, excluded: np.ndarray) -> np.ndarray:
     return cand[~_member_mask(cand, excluded)]
 
 
+SEED_BLOCKS = 4  # max blocks decoded to seed θ (bounded seed cost)
+
+
 def _theta_seed(
     shortest: _TermList, k: int, allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
 ) -> float:
-    """k-th best exact score of the shortest list — a valid lower
-    bound on the final k-th best total (each doc's total ≥ its
-    single-term score there). With a doc filter (site allow-list or
-    tombstone deny-list), only SERVABLE docs may seed θ: a filtered-out
-    doc's score is NOT a lower bound on any final result, and an
-    inflated θ would unsoundly prune."""
+    """k-th best exact score among the ≤SEED_BLOCKS highest-upper-bound
+    blocks of the shortest list — a valid lower bound on the final
+    k-th best total. Soundness: any k TRUE single-term scores of
+    servable docs bound the final k-th best total from below (each of
+    those docs' totals ≥ its single-term score); restricting to a
+    SUBSET of the list only weakens θ, never unsoundly inflates it.
+
+    Boundedness: the previous seed decoded the ENTIRE shortest list
+    exactly — at web scale that decode IS the bulk of a rare∧common
+    query's decompression work. Decoding only the blocks with the
+    highest block-max (where the top scores concentrate) costs
+    ≤ SEED_BLOCKS·BLOCK postings regardless of list length and seeds
+    nearly as tight in practice (tests/test_wand_metrics.py pins that
+    pruning still fires; the hypothesis suites pin rank-identity).
+
+    With a doc filter (site allow-list or tombstone deny-list), only
+    SERVABLE docs may seed θ: a filtered-out doc's score is NOT a
+    lower bound on any final result, and an inflated θ would unsoundly
+    prune."""
+    if k <= 0:
+        return 0.0
     if allowed is None and excluded is None and shortest.n <= k:
         return 0.0  # avoid the decode when the seed is provably 0
-    ids, scores = shortest.decode_all()
-    if allowed is not None:
-        ok = _member_mask(ids, allowed)
-        ids, scores = ids[ok], scores[ok]
-    if excluded is not None and len(ids):
-        keep = ~_member_mask(ids, excluded)
-        scores = scores[keep]
+    nb = len(shortest.block_last)
+    if nb == 0:
+        return 0.0
+    pool = []
+    for b in np.argsort(-shortest.block_max)[:SEED_BLOCKS]:
+        ids, scores = shortest.block_scores(int(b))
+        if allowed is not None:
+            ok = _member_mask(ids, allowed)
+            ids, scores = ids[ok], scores[ok]
+        if excluded is not None and len(ids):
+            keep = ~_member_mask(ids, excluded)
+            scores = scores[keep]
+        pool.append(scores)
+    scores = np.concatenate(pool) if pool else np.empty(0)
     if len(scores) <= k:
         return 0.0
     return float(np.partition(scores, -k)[-k])
@@ -405,11 +437,15 @@ def wand_shard_topk(
     if not lists:
         return _empty_topk(k)
 
-    if conjunctive:
-        if len(lists) < n_terms:
-            # a query term has no postings in this shard ⇒ no doc here
-            # can match all terms (shards partition the doc space)
-            return _empty_topk(k)
+    if conjunctive and len(lists) < n_terms:
+        # a query term has no postings in this shard ⇒ no doc here
+        # can match all terms (shards partition the doc space)
+        return _empty_topk(k)
+    # single-term bm25: AND ≡ OR, so take the block-max-pruned path
+    # below instead of the intersection cascade's full driving-list
+    # decode — θ-seed + block bounds skip provably non-competitive
+    # blocks of the one list (rank-identical: pruning is sound)
+    if conjunctive and not (mode == "bm25" and len(lists) == 1):
         # rarest-first intersection cascade (R1): drive with the
         # shortest list (fully decoded), probe the rest lazily; the
         # site filter is the cheapest predicate — apply it first
@@ -485,12 +521,15 @@ def wand_shard_topk_count(
     (n_hit=-1, n_matched=shard match count — n_hit is ≥1 on every
     real hit, so -1 is unambiguous).
 
-    Disjunctive counting needs the full posting union regardless, so
-    block-max pruning buys nothing here: survivors are scored
-    exhaustively. Rank-identity holds by construction — pruning is
-    sound (never drops a true top-k doc), so pruned and exhaustive
-    top-k agree; `tests/test_packed_spark.py` asserts the fused path
-    against the two-kernel one on the full reference query set."""
+    Multi-term disjunctive counting needs the full posting union, so
+    block-max pruning buys nothing there: survivors are scored
+    exhaustively. SINGLE-list queries are the exception — the count is
+    the list length (adjusted by filter lookups), no decode at all, and
+    the top-k goes through the θ-pruned path. Rank-identity holds by
+    construction — pruning is sound (never drops a true top-k doc), so
+    pruned and exhaustive top-k agree; `tests/test_packed_spark.py`
+    asserts the fused path against the two-kernel one on the full
+    reference query set."""
 
     def with_count(frame: pd.DataFrame, n: int) -> pd.DataFrame:
         frame = frame.copy()
@@ -514,9 +553,42 @@ def wand_shard_topk_count(
     if not lists:
         return with_count(_empty_topk(k), 0)
 
+    if conjunctive and len(lists) < n_terms:
+        return with_count(_empty_topk(k), 0)
+    # single-list bm25 (single-term query, or a disjunction with one
+    # term present here): the match count needs NO full decode — it's
+    # the list length adjusted by filter lookups (which decode only
+    # the blocks filter ids fall in) — and the top-k takes the
+    # block-max-pruned path
+    live = [t for t in lists if t.n > 0]
+    if mode == "bm25" and len(live) == 1 and (
+        not conjunctive or len(lists) == 1
+    ):
+        t = live[0]
+        if allowed is not None:
+            base = (
+                _setdiff_sorted(allowed, excluded)
+                if excluded is not None else allowed
+            )
+            _, present = t.lookup(base)
+            n_match = int(present.sum())
+        elif excluded is not None:
+            _, present = t.lookup(excluded)
+            n_match = t.n - int(present.sum())
+        else:
+            n_match = t.n
+        theta = _theta_seed(t, k, allowed, excluded)
+        cand = _disjunctive_candidates([t], theta)
+        if allowed is not None:
+            cand = _intersect_sorted(cand, allowed)
+        if excluded is not None:
+            cand = _setdiff_sorted(cand, excluded)
+        scores, present = t.lookup(cand)
+        return with_count(
+            _topk_frame(cand, scores, present.astype(np.int64), k), n_match
+        )
+
     if conjunctive:
-        if len(lists) < n_terms:
-            return with_count(_empty_topk(k), 0)
         lists.sort(key=lambda t: t.n)
         cand = lists[0].decode_all()[0]
         if allowed is not None:
@@ -587,14 +659,19 @@ def wand_shard_metrics(
       n_blocks          Σ compressed blocks across those terms
       n_blocks_decoded  blocks actually decompressed — the rest were
                         skipped by block-max pruning / lazy lookup
-      n_candidates      docs entering the probe phase (conjunctive:
-                        driving-list survivors after site/tombstone
-                        filters; disjunctive: union of docs in
-                        θ-surviving blocks, post filters)
-      n_scored          docs fully scored (conjunctive: the final
-                        intersection; disjunctive: == n_candidates)
+      n_candidates      docs entering the probe phase (multi-term
+                        conjunctive: driving-list survivors after
+                        site/tombstone filters; disjunctive and
+                        single-term bm25: union of docs in θ-surviving
+                        blocks, post filters)
+      n_scored          docs fully scored (multi-term conjunctive: the
+                        final intersection — equals the served match
+                        count; disjunctive/single-term: ==
+                        n_candidates, which under pruning is LESS than
+                        the served count — pruning's whole point)
       theta             the θ lower bound used for block pruning
-                        (0.0 when pruning is off: conjunctive/legacy)
+                        (0.0 when pruning is off: multi-term
+                        conjunctive / legacy)
 
     Decision-for-decision parity with wand_shard_topk is pinned by
     tests (conjunctive n_scored == the fused kernel's match count;
@@ -626,9 +703,12 @@ def wand_shard_metrics(
     if not lists:
         return row([], 0, 0, 0.0)
 
-    if conjunctive:
-        if len(lists) < n_terms:
-            return row(lists, 0, 0, 0.0)
+    if conjunctive and len(lists) < n_terms:
+        return row(lists, 0, 0, 0.0)
+    # single-term bm25 routes through the block-max-pruned path below
+    # (mirrors wand_shard_topk / wand_shard_topk_count routing so the
+    # decode counters replay the serving kernels' decisions)
+    if conjunctive and not (mode == "bm25" and len(lists) == 1):
         lists.sort(key=lambda t: t.n)
         cand = lists[0].decode_all()[0]
         if allowed is not None:

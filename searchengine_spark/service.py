@@ -384,9 +384,9 @@ class SearchService:
         # run_id — the page becomes phrase-searchable immediately via
         # the kernel's last-run-wins merge, and the next compaction
         # folds it (index/refresh.py repacks possegs alongside)
-        import os
+        from .index.manifest import fs_exists
 
-        if os.path.isdir(f"{self.base}/possegs"):
+        if fs_exists(self.spark, f"{self.base}/possegs"):
             from .index.positional import (
                 build_positional_segments,
                 write_positional_segments,

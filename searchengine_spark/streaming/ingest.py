@@ -88,6 +88,7 @@ def start_incremental_indexer(
         # can never collide with a compaction run: refresh_and_repack
         # writes the merged state as run 0 — semantically the OLDEST
         # run — never max+1
+        run_id = base_run_id + int(batch_id) + 1
         write_delta_run(
             spark,
             prepared,
@@ -96,8 +97,35 @@ def start_incremental_indexer(
             n_docs=n_docs,
             avgdl=avgdl,
             n_shards=n_shards,
-            run_id=base_run_id + int(batch_id) + 1,
+            run_id=run_id,
         )
+        # positional lifecycle parity (same contract as
+        # service.index_page): when the index carries positional runs,
+        # each micro-batch ALSO lands its positional delta under the
+        # same run_id — streamed pages become phrase-searchable
+        # immediately via _PosList's last-run-wins merge, and the next
+        # refresh_and_repack folds the runs. Replays append
+        # value-identical rows: serving keeps the last tied occurrence
+        # (byte-identical), compaction dropDuplicates them.
+        from ..index.manifest import fs_exists
+
+        if fs_exists(spark, f"{index_base}/possegs"):
+            from ..index.positional import (
+                build_positional_segments,
+                write_positional_segments,
+            )
+            from ..operators.postings import prepare_docs
+
+            pos_prepared = prepare_docs(batch_df, use_html=use_html).select(
+                "doc_id", "lemmas"
+            )
+            write_positional_segments(
+                build_positional_segments(
+                    pos_prepared, n_shards, run_id=run_id
+                ),
+                f"{index_base}/possegs",
+                mode="append",
+            )
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)

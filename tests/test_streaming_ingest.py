@@ -17,6 +17,13 @@ QUERY = "свежийпотоковыйтермин"  # OOV → identity lemma
 
 
 def test_streaming_delta_ingest(spark, tmp_path):
+    from searchengine_spark.index.positional import (
+        build_positional_segments,
+        phrase_search_packed,
+        write_positional_segments,
+    )
+    from searchengine_spark.operators.postings import prepare_docs
+
     base = str(tmp_path / "idx")
     stream_dir = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
@@ -28,6 +35,15 @@ def test_streaming_delta_ingest(spark, tmp_path):
     (
         segs.repartition("shard").write.mode("overwrite")
         .partitionBy("shard").parquet(f"{base}/segments")
+    )
+    # positional layer present → each micro-batch must also land a
+    # positional delta run (phrase-searchable streamed pages)
+    write_positional_segments(
+        build_positional_segments(
+            prepare_docs(docs, use_html=True).select("doc_id", "lemmas"),
+            N_SHARDS,
+        ),
+        f"{base}/possegs",
     )
 
     # land a delta file: 2 docs re-crawled with the new term
@@ -58,6 +74,15 @@ def test_streaming_delta_ingest(spark, tmp_path):
 
     n_runs_1 = segments.select("run_id").distinct().count()
     assert n_runs_1 >= 2  # base run + at least one delta run
+
+    # the streamed docs are phrase-searchable: their positional delta
+    # landed under the same run_id ("...текст QUERY" tail makes the
+    # 2-gram "<last-original-lemma> QUERY" unique to the re-crawl);
+    # simpler check: the OOV term itself is positionally present
+    possegs = spark.read.parquet(f"{base}/possegs")
+    assert possegs.select("run_id").distinct().count() >= 2
+    ph = phrase_search_packed(spark, possegs, QUERY).collect()
+    assert len(ph) == 2
 
     # exactly-once: re-running over the same landing dir adds nothing
     q2 = start_incremental_indexer(
