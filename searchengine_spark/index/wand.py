@@ -303,6 +303,46 @@ def _theta_seed(
     return float(np.partition(scores, -k)[-k])
 
 
+def _sparse_max_table(vals: np.ndarray) -> list[np.ndarray]:
+    """Sparse table for O(1) range-max queries: level l holds the max
+    over every length-2^l window, so table[l][i] = max(vals[i:i+2^l]).
+    Build is O(n log n) vectorized numpy; queried by _range_max."""
+    tables = [vals]
+    w = 1
+    while 2 * w <= len(vals):
+        prev = tables[-1]
+        tables.append(np.maximum(prev[: len(prev) - w], prev[w:]))
+        w *= 2
+    return tables
+
+
+def _range_max(
+    tables: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Vectorized inclusive range max: out[i] = max(vals[a[i]..b[i]]),
+    requires a <= b elementwise. Each query is the max of two
+    overlapping power-of-two windows covering [a, b] — the classic
+    sparse-table lookup, grouped by level so the gather is one numpy
+    op per distinct level (≤ log2(n) groups).
+
+    This replaces a per-block Python loop of slice-max calls: with nb
+    blocks per list and ranges spanning r blocks each, the loop costs
+    O(nb·r) — quadratic when companion lists are long (exactly the
+    rare∧common shape block-max pruning exists for). The table makes
+    the whole bound computation O(nb log nb) regardless of overlap."""
+    w = b - a + 1
+    # floor(log2(w)) without float-precision edge cases: frexp returns
+    # e with w = m·2^e, m ∈ [0.5, 1) — so e-1 is exact for w < 2^53
+    lvl = np.frexp(w.astype(np.float64))[1] - 1
+    out = np.empty(len(a), dtype=np.float64)
+    for l in np.unique(lvl):
+        m = lvl == l
+        tab = tables[int(l)]
+        span = 1 << int(l)
+        out[m] = np.maximum(tab[a[m]], tab[b[m] - span + 1])
+    return out
+
+
 def _disjunctive_candidates(
     lists: list["_TermList"], theta: float
 ) -> np.ndarray:
@@ -354,6 +394,9 @@ def _disjunctive_candidates(
         else:
             break
     essential = live[split:]
+    # one sparse range-max table per companion list, shared across all
+    # essential lists it bounds (built from block_max only — no decode)
+    tables: dict[int, list[np.ndarray]] = {}
     survivors: list[np.ndarray] = []
     for t in essential:
         nb = len(t.block_last)
@@ -372,9 +415,14 @@ def _disjunctive_candidates(
                 np.searchsorted(u.block_last, hi, side="left"),
                 len(u.block_last) - 1,
             )
-            for b in range(nb):
-                if j_lo[b] <= j_hi[b]:
-                    bound[b] += u.block_max[j_lo[b] : j_hi[b] + 1].max()
+            tab = tables.get(id(u))
+            if tab is None:
+                tab = tables[id(u)] = _sparse_max_table(u.block_max)
+            overlap = j_lo <= j_hi
+            if overlap.any():
+                bound[overlap] += _range_max(
+                    tab, j_lo[overlap], j_hi[overlap]
+                )
         for b in np.flatnonzero(bound >= theta):
             survivors.append(t.block_ids(int(b)))
     if not survivors:

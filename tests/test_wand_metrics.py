@@ -208,3 +208,26 @@ def test_explain_empty_and_pruned_queries(served):
     assert empty["terms"] == [] and empty["n_blocks"] == 0
     pruned = svc.explain("data")  # 98%-DF term — F4-pruned
     assert pruned["terms"] == [] and pruned["shards"] == 0
+
+
+def test_range_max_table_equals_naive():
+    """_sparse_max_table/_range_max ≡ the naive slice max on seeded
+    random arrays — incl. single-element tables, a==b, full-range, and
+    power-of-two-boundary window widths (frexp level math)."""
+    from searchengine_spark.index.wand import _range_max, _sparse_max_table
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 127, 128, 129, 1000):
+        vals = rng.standard_normal(n)
+        tab = _sparse_max_table(vals)
+        a = rng.integers(0, n, size=500)
+        b = rng.integers(0, n, size=500)
+        a, b = np.minimum(a, b), np.maximum(a, b)
+        # force the edge shapes in every batch
+        a[0], b[0] = 0, n - 1          # full range
+        a[1], b[1] = n - 1, n - 1      # single element
+        got = _range_max(tab, a, b)
+        want = np.array(
+            [vals[x : y + 1].max() for x, y in zip(a, b)]
+        )
+        assert np.array_equal(got, want)
