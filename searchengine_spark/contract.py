@@ -306,6 +306,80 @@ def q_bm25_site_filtered(spark, sf_dir):
     )
 
 
+# -- boolean retrieval: explicit AND/OR/NOT over postings (beyond the
+#    reference's implicit-AND, ApiService.java:127-139); scored over the
+#    POSITIVE terms only, NOT branches restrict the match set -----------------
+BOOL_Q = "(dup OR spark) AND stream AND NOT batch"
+_BOOL_SCORING = "('dup','spark','stream')"  # positive leaves
+_SQL_BOOL = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl),
+g AS (
+  SELECT t.doc_id,
+         floor(sum(CASE WHEN term IN {_BOOL_SCORING} THEN
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * tf * 2.2
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl)) END
+         ) * 10000.0 + 0.5)::BIGINT AS score_e4,
+         max(term = 'dup') AS f_dup,
+         max(term = 'spark') AS f_spark,
+         max(term = 'stream') AS f_stream,
+         max(term = 'batch') AS f_batch
+  FROM tf t
+  JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+  WHERE term IN ('dup','spark','stream','batch')
+  GROUP BY t.doc_id)
+SELECT doc_id, score_e4 FROM g
+WHERE (f_dup OR f_spark) AND f_stream AND NOT f_batch
+"""
+
+
+@_reg("q_bool_query", _SQL_BOOL)
+def q_bool_query(spark, sf_dir):
+    from .operators.boolquery import bool_match_score, parse_bool_query
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    ast = parse_bool_query(BOOL_Q)
+    return bool_match_score(tf, dl, dfx, stats, ast).select(
+        "doc_id",
+        F.floor(F.col("score") * 10000.0 + F.lit(0.5)).cast("long")
+        .alias("score_e4"),
+    )
+
+
+# -- fuzzy term suggestion: SymSpell delete-1 keys + exact levenshtein
+#    verify (oracle = full-scan levenshtein; equal because the delete-1
+#    key match is complete for distance <= 1) --------------------------------
+FUZZY_WORD = "sow"
+_SQL_FUZZY = f"""
+WITH {_SQL_TOK},
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM dfx
+WHERE levenshtein(term, '{FUZZY_WORD}') <= 1
+ORDER BY df DESC, term LIMIT 10
+"""
+
+
+@_reg("q_fuzzy_suggest", _SQL_FUZZY)
+def q_fuzzy_suggest(spark, sf_dir):
+    from .operators.fuzzy import suggest_terms
+
+    dfx = (
+        _tf(_t(spark, sf_dir, "documents"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return suggest_terms(dfx, FUZZY_WORD, max_edit=1, topn=10)
+
+
 # -- A3: legacy relevance sum/max (reference ApiService.java:130-142) --------
 @_reg(
     "q_legacy_relevance",
@@ -998,6 +1072,9 @@ def q_latest_event_per_user(spark, sf_dir):
 # never be silently dropped from the registry by forgetting to list it here
 # (tests/test_entry_contract.py asserts the ordering is a permutation).
 _PRIORITY = [
+    # NEW this round (r4: boolean AND/OR/NOT retrieval, SymSpell
+    # fuzzy suggestion) — must receive a correctness row
+    "q_bool_query", "q_fuzzy_suggest",
     # reworked this round (r4: rolling-hash dup spans, 60-bit line
     # hash + broadcast guard, range-checked PII regexes) — must
     # receive a correctness row

@@ -272,6 +272,67 @@ class SearchService:
             )
         return {"result": True, "count": count, "data": data}
 
+    # -- /api/boolean (beyond-reference) ---------------------------------------
+
+    def boolean(self, query: str, limit: int = 20) -> dict:
+        """Explicit AND/OR/NOT retrieval over the packed segments
+        (operators/boolquery.py): {result, data: [{site, uri, url,
+        doc_id, title, relevance}]} ranked (score desc, doc_id asc).
+        Deletes are honored via the tombstone deny-list, and delta
+        runs are visible (the kernel's multi-run merge). Raises
+        ValueError on syntax errors and on ungrounded (negation-only)
+        queries."""
+        from .operators.boolquery import bool_search_packed
+
+        hits = bool_search_packed(
+            self.spark, self.segments, self.n_docs, self.avgdl, query,
+            k=limit, excluded_doc_ids=self.tombstoned,
+        ).collect()
+        if not hits:
+            return {"result": True, "data": []}
+        winners = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in hits],
+            "doc_id long, score double",
+        )
+        rows = (
+            self.serve_meta.select("doc_id", "url", "title")
+            .join(F.broadcast(winners), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        data = []
+        for r in rows:
+            url = r["url"]
+            slash = url.find("/", url.find("://") + 3)
+            data.append(
+                {
+                    "site": url[:slash] if slash != -1 else url,
+                    "uri": url[slash:] if slash != -1 else "/",
+                    "url": url,
+                    "doc_id": r["doc_id"],
+                    "title": r["title"],
+                    "relevance": r["score"],
+                }
+            )
+        return {"result": True, "data": data}
+
+    # -- /api/suggest (beyond-reference) ---------------------------------------
+
+    def suggest(self, word: str, topn: int = 10) -> list[dict]:
+        """Did-you-mean: dictionary terms within edit distance 1 of
+        ``word`` (operators/fuzzy.py SymSpell keys), ranked
+        (df desc, term asc). Served from the open-time term_stats
+        snapshot — delta-run terms appear after the next reopen or
+        compaction (same staleness contract as statistics())."""
+        from .operators.fuzzy import suggest_terms
+
+        return [
+            {"term": r["term"], "df": r["df"]}
+            for r in suggest_terms(
+                self.term_stats, word, topn=topn
+            ).collect()
+        ]
+
     def refresh_positional(self) -> None:
         """Rebuild the positional snapshot from docs_text (e.g. after
         index_page calls) and swap the cache."""

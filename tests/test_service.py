@@ -210,3 +210,46 @@ def test_index_page_phrase_visible_immediately(spark, served):
     assert got["data"][0]["url"] == "https://site2.example/phrase-new"
     # reversed order is NOT a phrase match
     assert svc.phrase("хвостослово уникальнофразовый")["count"] == 0
+
+
+def test_boolean_endpoint_matches_relational(spark, served):
+    svc, idx, constants = served
+    from searchengine_spark.operators.boolquery import bool_search
+
+    q = "(индекс OR spark) AND поиск AND NOT данные"
+    resp = svc.boolean(q, limit=10)
+    assert resp["result"] is True
+    want = sorted(
+        ((r["doc_id"], r["score"])
+         for r in bool_search(spark, idx, q, constants=constants).collect()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d["doc_id"] for d in resp["data"]] == [d for d, _ in want]
+    for d, (_, s) in zip(resp["data"], want):
+        assert abs(d["relevance"] - s) < 1e-9
+        assert d["url"].startswith("https://site")
+        assert d["title"]
+    # deletes honored: tombstone the top hit, it vanishes (this test
+    # runs after every fixture-order-sensitive search test, so the
+    # tombstone does not leak into other assertions)
+    if resp["data"]:
+        top_url = resp["data"][0]["url"]
+        svc.delete_page(top_url)
+        resp2 = svc.boolean(q, limit=10)
+        assert top_url not in [d["url"] for d in resp2["data"]]
+    # ungrounded queries rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        svc.boolean("NOT поиск")
+
+
+def test_suggest_endpoint(spark, served):
+    svc, idx, constants = served
+    got = svc.suggest("поис", topn=5)
+    terms = {r["term"] for r in idx.term_stats.collect()
+             if r["term"] in ("поиск",)}
+    assert [g["term"] for g in got][:1] == ["поиск"]
+    dfs = {r["term"]: r["df"] for r in idx.term_stats.collect()}
+    for g in got:
+        assert g["df"] == dfs[g["term"]]
