@@ -181,6 +181,28 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         return best
 
+    def timed_converging(fn, n_min=2, n_max=4, tol=0.15):
+        """min wall time of fn(), repeated until it stops improving.
+
+        The heavy build/pack stages show a cold->warm->steady ramp
+        (page cache, JIT, python-worker pool: measured 65 s -> 5.8 s
+        -> 13.7 s on identical code) PLUS multi-second host stall
+        windows; a fixed min-of-2 can land both passes inside a slow
+        window and record a 3-4x-off number. Repeat (bounded by
+        ``n_max``) while each new pass still improves the best by
+        > ``tol`` — converges in 2 passes at steady state, spends the
+        extra passes exactly when the measurement is unsettled."""
+        best = float("inf")
+        for i in range(n_max):
+            t0 = time.monotonic()
+            fn()
+            t = time.monotonic() - t0
+            improved = t < best * (1.0 - tol)
+            best = min(best, t)
+            if i + 1 >= n_min and not improved:
+                break
+        return best
+
     # ---- north-star pipeline: web corpus -> packed index ------------------
     n_web = int(os.environ.get("BENCH_WEB_DOCS", str(max(2000, int(sf * 1e6)))))
     corpus_path = f"{tmp}/docs"
@@ -211,9 +233,9 @@ def main() -> None:
         nonlocal index
         index = materialize_index(spark, docs, f"{tmp}/idx", use_html=True)
 
-    # min-of-2: one repetition bounds the stall pollution without
-    # doubling the whole harness (build is the longest stage)
-    t_build = timed(_build, n=min(runs, 2))
+    # converging min (2-4 passes): one repetition bounds stall
+    # pollution; extra passes run only while the number is unsettled
+    t_build = timed_converging(_build)
     queries["build_index"] = t_build
 
     n_docs, avgdl = rsearch.corpus_constants(index.doc_stats)
@@ -222,7 +244,7 @@ def main() -> None:
         segs = build_segments(index, n_docs, avgdl)
         write_segments(segs, f"{tmp}/segments")
 
-    t_pack = timed(_pack, n=min(runs, 2))
+    t_pack = timed_converging(_pack)
     queries["pack_segments"] = t_pack
 
     segments = spark.read.parquet(f"{tmp}/segments").cache()
@@ -251,7 +273,7 @@ def main() -> None:
             build_positional_segments(prepared, n_shards), f"{tmp}/possegs"
         )
 
-    queries["pack_positional"] = timed(_pack_pos, n=min(runs, 2))
+    queries["pack_positional"] = timed_converging(_pack_pos)
     pos_segments = spark.read.parquet(f"{tmp}/possegs").cache()
     pos_segments.count()
     queries["phrase_packed"] = timed(
@@ -424,7 +446,10 @@ def main() -> None:
         "service_p95_sec": round(pctl(svc_lat, 0.95), 4),
         "wand_blocks_decoded_pct": blocks_decoded_pct,
         "noise_protocol": (
-            f"min-of-{runs} per query (build/pack/heavy min-of-2, "
+            f"min-of-{runs} per query (build/pack converge-min "
+            "2-4 passes — repeat while a pass improves the best by "
+            ">15%, absorbing the cold->warm ramp AND slow-window "
+            "pairs that defeat a fixed min-of-2; heavy min-of-2, "
             "gen_corpus single-pass after an untimed Python-worker "
             "prewarm job); heavy pipeline queries run after "
             "the r1-comparable set; the dedup/clean/mixture entries "

@@ -27,10 +27,15 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--site", default=None)
-    ap.add_argument("--mode", choices=["packed", "relational", "phrase"],
+    ap.add_argument("--mode",
+                    choices=["packed", "relational", "phrase", "boolean",
+                             "suggest"],
                     default="packed",
                     help="phrase = exact-sequence retrieval over "
-                         "<index>/possegs (build_index.py --positional)")
+                         "<index>/possegs (build_index.py --positional); "
+                         "boolean = explicit AND/OR/NOT over <index>/"
+                         "segments; suggest = fuzzy did-you-mean over "
+                         "the term dictionary")
     ap.add_argument("--scoring", choices=["bm25", "legacy"], default="bm25",
                     help="legacy = reference sum(rank)/max(rank)")
     ap.add_argument("--disjunctive", action="store_true")
@@ -58,6 +63,19 @@ def main() -> None:
             .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
             .limit(args.k)
         )
+    elif args.mode == "boolean":
+        from searchengine_spark.operators.boolquery import (
+            bool_search_packed,
+        )
+
+        segments = spark.read.parquet(f"{args.index}/segments")
+        out = bool_search_packed(
+            spark, segments, n_docs, avgdl, args.query, k=args.k
+        )
+    elif args.mode == "suggest":
+        from searchengine_spark.operators.fuzzy import suggest_terms
+
+        out = suggest_terms(idx.term_stats, args.query, topn=args.k)
     elif args.mode == "packed":
         segments = spark.read.parquet(f"{args.index}/segments")
         out = search_packed(

@@ -360,7 +360,22 @@ def bool_shard_topk(
         _setdiff_sorted,
         _TermList,
         _topk_frame,
+        wand_shard_topk,
     )
+
+    # pure disjunction of terms (or a single term) IS the WAND
+    # disjunctive query — route it through the block-max-pruned kernel
+    # instead of decoding every list wholesale for the union
+    # (rank-identical: WAND pruning is sound; scoring is the same BM25
+    # sum over present terms)
+    if ast[0] == "term" or (
+        ast[0] == "or" and all(c[0] == "term" for c in ast[1])
+    ):
+        n_terms = 1 if ast[0] == "term" else len(ast[1])
+        return wand_shard_topk(
+            pdf, n_docs, avgdl, k, conjunctive=False, n_terms=n_terms,
+            excluded=excluded,
+        )
 
     lists = {
         term: _TermList(rows, n_docs, avgdl)

@@ -53,10 +53,18 @@ def suggest_terms(
     word: str,
     max_edit: int = 1,
     topn: int = 10,
+    key_index: DataFrame | None = None,
 ) -> DataFrame:
     """Terms within ``max_edit`` (only 1 supported — the delete-1 key
     set is complete exactly for distance <= 1) of ``word``, ranked
-    (df DESC, term ASC), top ``topn`` -> DataFrame(term, df)."""
+    (df DESC, term ASC), top ``topn`` -> DataFrame(term, df).
+
+    ``key_index``: a prebuilt ``deletion_key_index(term_stats)`` —
+    pass it in a serving deployment so each query is a key lookup
+    against the materialized (ideally key-partitioned/bucketed) table
+    instead of re-exploding the dictionary; without it the index is
+    derived on the fly (fine at test scale, a full dictionary pass
+    per query at web scale)."""
     if max_edit != 1:
         raise ValueError(
             "suggest_terms supports max_edit=1 (delete-1 keys are "
@@ -64,9 +72,11 @@ def suggest_terms(
             "delete-2 keys)"
         )
     qkeys = sorted(_delete1(word))
+    idx = key_index if key_index is not None else deletion_key_index(
+        term_stats
+    )
     cand = (
-        deletion_key_index(term_stats)
-        .filter(F.col("key").isin(qkeys))
+        idx.filter(F.col("key").isin(qkeys))
         .select("term", "df")
         .distinct()
     )

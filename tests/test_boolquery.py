@@ -104,6 +104,8 @@ BOOL_QUERIES = [
     "(быстрый OR слово) AND (поиск OR spark) AND NOT (запрос страница)",
     "поиск AND NOT nosuchwordxyz",  # absent negated term: no-op
     "nosuchwordxyz OR индекс",  # absent OR branch contributes nothing
+    "поиск OR данные OR spark",  # pure disjunction -> WAND fast path
+    "индекс",  # single term -> block-max single-list fast path
 ]
 
 

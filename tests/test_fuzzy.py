@@ -67,3 +67,13 @@ def test_deletion_keys_complete_for_distance_1(spark, term_stats):
 def test_max_edit_2_rejected(term_stats):
     with pytest.raises(ValueError):
         fuzzy.suggest_terms(term_stats, "поиск", max_edit=2)
+
+
+def test_prebuilt_key_index_equals_on_the_fly(spark, term_stats):
+    idx = fuzzy.deletion_key_index(term_stats).cache()
+    idx.count()
+    for word in ("поис", "паиск"):
+        a = fuzzy.suggest_terms(term_stats, word).collect()
+        b = fuzzy.suggest_terms(term_stats, word, key_index=idx).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    idx.unpersist()

@@ -230,3 +230,42 @@ def test_line_dedup_plan_broadcasts_boilerplate_set(spark):
     # exactly the aggregation shuffles (freq count + reassembly),
     # never a sort-merge join of two corpus-sized line frames
     assert "SortMergeJoin" not in plan
+
+
+def test_bool_search_plan_single_shuffle_broadcast_stats(spark, built):
+    """Boolean retrieval: ONE hash shuffle (the groupBy(doc_id)
+    computing flags + score together), df/corpus stats broadcast, the
+    leaf-term predicate pushed into the postings parquet scan."""
+    from searchengine_spark.operators.boolquery import bool_search
+
+    idx, _, n, avgdl = built
+    out = bool_search(
+        spark, idx, "(индекс OR spark) AND поиск AND NOT данные",
+        constants=(n, avgdl),
+    )
+    plan = _plan(out)
+    assert "In(term," in plan, "leaf-term predicate not pushed to scan"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    exec_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("Exchange hashpartitioning") <= 2, (
+        "boolean plan should shuffle at most twice (doclen join + "
+        "groupBy doc_id)"
+    )
+
+
+def test_suggest_plan_key_pushdown(spark, built):
+    """Fuzzy suggest: the query's delete-1 keys must prune the key
+    index scan (a point lookup at serving time, never a dict scan of
+    candidates)."""
+    from searchengine_spark.operators.fuzzy import suggest_terms
+
+    idx, *_ = built
+    out = suggest_terms(idx.term_stats, "поис", topn=10)
+    plan = _plan(out)
+    # the key IN (...) predicate exists post-explode as a Filter (the
+    # explode blocks scan pushdown here; a production deployment scans
+    # a MATERIALIZED key table where the same predicate prunes row
+    # groups) and the final ranking is a bounded top-n heap
+    assert "key#" in plan and "IN" in plan.upper()
+    assert "TakeOrderedAndProject" in plan
