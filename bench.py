@@ -328,9 +328,16 @@ def main() -> None:
     # (response assembly, meta join) from the kernel.
     from searchengine_spark.service import SearchService
 
+    # docs_text must be a MATERIALIZED table: a deployment serves
+    # snippets from the landed text column, it does not re-run the
+    # HTML-extract UDF over the corpus per request (an unmaterialized
+    # prepare_docs plan here made every snippets call re-extract all
+    # n_web docs — 5-10 s of pure re-computation per request)
+    prepare_docs(docs, use_html=True).select("doc_id", "text") \
+        .write.mode("overwrite").parquet(f"{tmp}/docs_text")
     svc = SearchService(
         spark, tmp,
-        docs_text=prepare_docs(docs, use_html=True).select("doc_id", "text"),
+        docs_text=spark.read.parquet(f"{tmp}/docs_text"),
     )
     def _time_service_set() -> list[float]:
         return [

@@ -65,6 +65,10 @@ class SearchService:
         recover(base)  # settle any crashed refresh before reading
         self.spark = spark
         self.base = base
+        # docs_text should be a MATERIALIZED (doc_id, text) table —
+        # snippets and the lazy positional build scan it per call, so
+        # an unmaterialized extraction plan would re-run its UDFs over
+        # the whole corpus on every snippets request
         self.docs_text = docs_text
         self.snippet_mode = snippet_mode
         self.index = read_index(spark, f"{base}/idx")
