@@ -354,6 +354,12 @@ def main() -> None:
     )
     queries["service_phrase"] = timed(lambda: svc.phrase("быстрый поиск"))
     queries["service_statistics"] = timed(lambda: svc.statistics())
+    queries["service_boolean"] = timed(
+        lambda: svc.boolean(
+            "(быстрый OR индекс) AND поиск AND NOT данные", limit=20
+        )
+    )
+    queries["service_suggest"] = timed(lambda: svc.suggest("поис"))
     # svc stays open: the end-of-run phase protocol may re-measure the
     # service set (closed right before the final JSON below)
 
