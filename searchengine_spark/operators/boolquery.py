@@ -344,6 +344,7 @@ def bool_shard_topk(
     n_docs: int,
     avgdl: float,
     k: int,
+    allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One shard's segments (all leaf terms) -> shard-local top-k of
@@ -352,8 +353,15 @@ def bool_shard_topk(
     Set algebra over the lazy _TermList API: AND drives from the
     smallest positive child and probes remaining TERM children via
     block-selective lookup (never decoding their lists wholesale);
-    OR unions; NOT subtracts. ``excluded`` is the tombstone deny-list
-    (sorted unique int64), applied before scoring."""
+    OR unions; NOT subtracts. ``allowed`` is a doc-level filter (this
+    shard's members of the site being searched — candidates are
+    intersected with it before scoring, corpus statistics stay
+    global); ``excluded`` is the tombstone deny-list (both sorted
+    unique int64)."""
+    if allowed is not None and len(allowed) == 0:
+        from ..index.wand import _empty_topk as _e
+
+        return _e(k)
     from ..index.wand import (
         _empty_topk,
         _intersect_sorted,
@@ -374,7 +382,7 @@ def bool_shard_topk(
         n_terms = 1 if ast[0] == "term" else len(ast[1])
         return wand_shard_topk(
             pdf, n_docs, avgdl, k, conjunctive=False, n_terms=n_terms,
-            excluded=excluded,
+            allowed=allowed, excluded=excluded,
         )
 
     lists = {
@@ -430,6 +438,8 @@ def bool_shard_topk(
         raise ValueError("NOT outside AND survived parser validation")
 
     cand = eval_set(ast)
+    if allowed is not None and len(cand):
+        cand = _intersect_sorted(cand, allowed)
     if excluded is not None and len(cand):
         cand = _setdiff_sorted(cand, excluded)
     if len(cand) == 0:
@@ -456,15 +466,27 @@ def bool_search_packed(
     k: int = 20,
     lemmatize: bool = True,
     excluded_doc_ids: list[int] | None = None,
+    site: str | None = None,
+    offset: int = 0,
+    doc_stats: DataFrame | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Boolean top-k over packed segments -> (doc_id, score).
 
     Plan: segment scan pruned to the leaf terms (pushed ``term IN``)
     -> one applyInPandas kernel per doc-space shard -> global
-    TakeOrderedAndProject of <= n_shards*k rows. Same two-tiny-shuffle
-    shape as index/wand.search_packed."""
-    from ..index.wand import TOPK_OUT_SCHEMA
+    TakeOrderedAndProject of <= n_shards*(offset+k) rows, offset
+    sliced driver-side. Same two-tiny-shuffle shape as
+    index/wand.search_packed. With ``site``, the site's member docs
+    are cogrouped into each shard's kernel (only the member list
+    moves — the corpus never shuffles); corpus statistics stay
+    global, same contract as every filtered-retrieval path."""
+    from ..index.wand import TOPK_OUT_SCHEMA, _site_members
 
+    if k < 0 or offset < 0:
+        raise ValueError(
+            f"k and offset must be >= 0 (got k={k}, offset={offset})"
+        )
     ast = parse_bool_query(query) if isinstance(query, str) else query
     if lemmatize:
         ast = normalize(lemmatize_ast(ast))
@@ -476,13 +498,50 @@ def bool_search_packed(
         if excluded_doc_ids
         else None
     )
+    k_eff = offset + k
     seg = segments.filter(F.col("term").isin(leaves))
-    per_shard = seg.groupBy("shard").applyInPandas(
-        lambda pdf: bool_shard_topk(pdf, ast, n_docs, avgdl, k, excluded=exc),
-        schema=TOPK_OUT_SCHEMA,
-    )
-    return (
+    if site is None:
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: bool_shard_topk(
+                pdf, ast, n_docs, avgdl, k_eff, excluded=exc
+            ),
+            schema=TOPK_OUT_SCHEMA,
+        )
+    else:
+        if doc_stats is None:
+            raise ValueError(
+                "site filter on the packed boolean path needs "
+                "doc_stats (doc_id, site)"
+            )
+        if n_shards is None:
+            n_shards = int(
+                segments.agg(F.max("shard")).collect()[0][0]
+            ) + 1
+        members = _site_members(doc_stats, site, n_shards)
+
+        def _kernel(seg_pdf: pd.DataFrame, mem_pdf: pd.DataFrame):
+            allowed = np.sort(
+                mem_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+            )
+            return bool_shard_topk(
+                seg_pdf, ast, n_docs, avgdl, k_eff,
+                allowed=allowed, excluded=exc,
+            )
+
+        per_shard = (
+            seg.groupby("shard")
+            .cogroup(members.groupby("shard"))
+            .applyInPandas(_kernel, schema=TOPK_OUT_SCHEMA)
+        )
+    out = (
         per_shard.orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(k)
+        .limit(k_eff)
         .select("doc_id", "score")
     )
+    if offset:
+        rows = out.collect()[offset:k_eff]
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in rows],
+            "doc_id long, score double",
+        )
+    return out

@@ -278,19 +278,28 @@ class SearchService:
 
     # -- /api/boolean (beyond-reference) ---------------------------------------
 
-    def boolean(self, query: str, limit: int = 20) -> dict:
+    def boolean(
+        self,
+        query: str,
+        limit: int = 20,
+        site: str | None = None,
+        offset: int = 0,
+    ) -> dict:
         """Explicit AND/OR/NOT retrieval over the packed segments
         (operators/boolquery.py): {result, data: [{site, uri, url,
-        doc_id, title, relevance}]} ranked (score desc, doc_id asc).
-        Deletes are honored via the tombstone deny-list, and delta
-        runs are visible (the kernel's multi-run merge). Raises
-        ValueError on syntax errors and on ungrounded (negation-only)
-        queries."""
+        doc_id, title, relevance}]} ranked (score desc, doc_id asc),
+        sliced [offset, offset+limit); ``site`` restricts candidates
+        (corpus statistics stay global). Deletes are honored via the
+        tombstone deny-list, and delta runs are visible (the kernel's
+        multi-run merge). Raises ValueError on syntax errors and on
+        ungrounded (negation-only) queries."""
         from .operators.boolquery import bool_search_packed
 
         hits = bool_search_packed(
             self.spark, self.segments, self.n_docs, self.avgdl, query,
-            k=limit, excluded_doc_ids=self.tombstoned,
+            k=limit, excluded_doc_ids=self.tombstoned, site=site,
+            offset=offset, doc_stats=self.serve_meta,
+            n_shards=self.n_shards,
         ).collect()
         if not hits:
             return {"result": True, "data": []}

@@ -268,3 +268,51 @@ def test_seeded_random_asts_packed_vs_relational(
         for d in rel:
             assert np.isclose(got[d], rel[d], rtol=1e-12), ast
     assert tried == 4
+
+
+def test_packed_stop_only_query_is_empty(spark, index, constants, segments):
+    """Every leaf lemmatizes to None (stop-POS): matches nothing, no
+    exception, stable schema."""
+    n, avgdl = constants
+    out = B.bool_search_packed(spark, segments, n, avgdl, "и AND в")
+    assert out.columns == ["doc_id", "score"]
+    assert out.count() == 0
+
+
+def test_packed_site_filter_and_offset(spark, index, constants, segments):
+    """site restricts candidates (stats stay global); offset slices the
+    globally ranked list — both identical to the relational spec."""
+    q = "(индекс OR spark) AND поиск"
+    n, avgdl = constants
+    rel = {
+        r["doc_id"]: r["score"]
+        for r in B.bool_search(spark, index, q, constants=constants).collect()
+    }
+    ranked = sorted(rel.items(), key=lambda x: (-x[1], x[0]))
+    # pick a site that actually has matches
+    site_of = {
+        r["doc_id"]: r["site"] for r in index.doc_stats.collect()
+    }
+    site = next(site_of[d] for d, _ in ranked)
+    members = {d for d, s in site_of.items() if s == site}
+    want_site = sorted(
+        ((d, sc) for d, sc in rel.items() if d in members),
+        key=lambda x: (-x[1], x[0]),
+    )
+    got_site = [
+        (r["doc_id"], r["score"])
+        for r in B.bool_search_packed(
+            spark, segments, n, avgdl, q, k=1000,
+            site=site, doc_stats=index.doc_stats,
+        ).collect()
+    ]
+    assert got_site == [(d, pytest.approx(sc)) for d, sc in want_site]
+
+    got_off = [
+        (r["doc_id"], r["score"])
+        for r in B.bool_search_packed(
+            spark, segments, n, avgdl, q, k=3, offset=2
+        ).collect()
+    ]
+    assert [d for d, _ in got_off] == [d for d, _ in ranked[2:5]]
+    assert np.allclose([s for _, s in got_off], [s for _, s in ranked[2:5]])
