@@ -53,9 +53,6 @@ from .search import bm25_term_score, lemmatize_query
 # lemmatization came back empty — e.g. a stop-POS word).
 Node = tuple
 
-_KEYWORDS = ("AND", "OR", "NOT")
-
-
 # --- parser ------------------------------------------------------------------
 
 
@@ -358,10 +355,6 @@ def bool_shard_topk(
     intersected with it before scoring, corpus statistics stay
     global); ``excluded`` is the tombstone deny-list (both sorted
     unique int64)."""
-    if allowed is not None and len(allowed) == 0:
-        from ..index.wand import _empty_topk as _e
-
-        return _e(k)
     from ..index.wand import (
         _empty_topk,
         _intersect_sorted,
@@ -370,6 +363,9 @@ def bool_shard_topk(
         _topk_frame,
         wand_shard_topk,
     )
+
+    if allowed is not None and len(allowed) == 0:
+        return _empty_topk(k)
 
     # pure disjunction of terms (or a single term) IS the WAND
     # disjunctive query — route it through the block-max-pruned kernel
