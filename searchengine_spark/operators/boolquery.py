@@ -335,17 +335,21 @@ def bool_search(
 # --- packed-segment kernel ---------------------------------------------------
 
 
-def bool_shard_topk(
+def _is_pure_disjunction(ast: Node) -> bool:
+    return ast[0] == "term" or (
+        ast[0] == "or" and all(c[0] == "term" for c in ast[1])
+    )
+
+
+def _bool_eval(
     pdf: pd.DataFrame,
     ast: Node,
     n_docs: int,
     avgdl: float,
-    k: int,
-    allowed: np.ndarray | None = None,
-    excluded: np.ndarray | None = None,
-) -> pd.DataFrame:
-    """One shard's segments (all leaf terms) -> shard-local top-k of
-    docs matching the AST, scored over the positive terms.
+    allowed: np.ndarray | None,
+    excluded: np.ndarray | None,
+):
+    """Shared per-shard evaluation -> (cand, scores, n_hit).
 
     Set algebra over the lazy _TermList API: AND drives from the
     smallest positive child and probes remaining TERM children via
@@ -356,30 +360,10 @@ def bool_shard_topk(
     global); ``excluded`` is the tombstone deny-list (both sorted
     unique int64)."""
     from ..index.wand import (
-        _empty_topk,
         _intersect_sorted,
         _setdiff_sorted,
         _TermList,
-        _topk_frame,
-        wand_shard_topk,
     )
-
-    if allowed is not None and len(allowed) == 0:
-        return _empty_topk(k)
-
-    # pure disjunction of terms (or a single term) IS the WAND
-    # disjunctive query — route it through the block-max-pruned kernel
-    # instead of decoding every list wholesale for the union
-    # (rank-identical: WAND pruning is sound; scoring is the same BM25
-    # sum over present terms)
-    if ast[0] == "term" or (
-        ast[0] == "or" and all(c[0] == "term" for c in ast[1])
-    ):
-        n_terms = 1 if ast[0] == "term" else len(ast[1])
-        return wand_shard_topk(
-            pdf, n_docs, avgdl, k, conjunctive=False, n_terms=n_terms,
-            allowed=allowed, excluded=excluded,
-        )
 
     lists = {
         term: _TermList(rows, n_docs, avgdl)
@@ -438,8 +422,6 @@ def bool_shard_topk(
         cand = _intersect_sorted(cand, allowed)
     if excluded is not None and len(cand):
         cand = _setdiff_sorted(cand, excluded)
-    if len(cand) == 0:
-        return _empty_topk(k)
     scoring = positive_terms(ast)
     scores = np.zeros(len(cand), dtype=np.float64)
     n_hit = np.zeros(len(cand), dtype=np.int64)
@@ -450,7 +432,85 @@ def bool_shard_topk(
         sc, present = tl.lookup(cand)
         scores += sc
         n_hit += present.astype(np.int64)
+    return cand, scores, n_hit
+
+
+def bool_shard_topk(
+    pdf: pd.DataFrame,
+    ast: Node,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """One shard's segments (all leaf terms) -> shard-local top-k of
+    docs matching the AST, scored over the positive terms (see
+    _bool_eval for the set-algebra and filter semantics)."""
+    from ..index.wand import _empty_topk, _topk_frame, wand_shard_topk
+
+    if allowed is not None and len(allowed) == 0:
+        return _empty_topk(k)
+    # pure disjunction of terms (or a single term) IS the WAND
+    # disjunctive query — route it through the block-max-pruned kernel
+    # instead of decoding every list wholesale for the union
+    # (rank-identical: WAND pruning is sound; scoring is the same BM25
+    # sum over present terms)
+    if _is_pure_disjunction(ast):
+        n_terms = 1 if ast[0] == "term" else len(ast[1])
+        return wand_shard_topk(
+            pdf, n_docs, avgdl, k, conjunctive=False, n_terms=n_terms,
+            allowed=allowed, excluded=excluded,
+        )
+    cand, scores, n_hit = _bool_eval(
+        pdf, ast, n_docs, avgdl, allowed, excluded
+    )
+    if len(cand) == 0:
+        return _empty_topk(k)
     return _topk_frame(cand, scores, n_hit, k)
+
+
+def bool_shard_topk_count(
+    pdf: pd.DataFrame,
+    ast: Node,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Fused shard kernel: top-k rows PLUS a count sentinel row
+    (n_hit = -1, n_matched = this shard's pre-pagination match count)
+    in ONE pass — the boolean evaluation materializes the full
+    candidate set anyway, so the count is free (same serving-path
+    contract as index/wand.wand_shard_topk_count)."""
+    from ..index.wand import _empty_topk, _topk_frame, wand_shard_topk_count
+
+    def with_count(frame: pd.DataFrame, n: int) -> pd.DataFrame:
+        sent = pd.DataFrame(
+            {
+                "doc_id": np.array([0], np.int64),
+                "score": np.array([0.0]),
+                "n_hit": np.array([-1], np.int32),
+                "n_matched": np.array([n], np.int64),
+            }
+        )
+        return pd.concat([frame, sent], ignore_index=True)
+
+    if allowed is not None and len(allowed) == 0:
+        return with_count(_empty_topk(k), 0)
+    if _is_pure_disjunction(ast):
+        n_terms = 1 if ast[0] == "term" else len(ast[1])
+        return wand_shard_topk_count(
+            pdf, n_docs, avgdl, k, conjunctive=False, n_terms=n_terms,
+            allowed=allowed, excluded=excluded,
+        )
+    cand, scores, n_hit = _bool_eval(
+        pdf, ast, n_docs, avgdl, allowed, excluded
+    )
+    if len(cand) == 0:
+        return with_count(_empty_topk(k), 0)
+    return with_count(_topk_frame(cand, scores, n_hit, k), len(cand))
 
 
 def bool_search_packed(
@@ -541,3 +601,83 @@ def bool_search_packed(
             "doc_id long, score double",
         )
     return out
+
+
+def bool_search_packed_fused(
+    spark,
+    segments: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str | Node,
+    k: int = 20,
+    lemmatize: bool = True,
+    excluded_doc_ids: list[int] | None = None,
+    site: str | None = None,
+    offset: int = 0,
+    doc_stats: DataFrame | None = None,
+    n_shards: int | None = None,
+) -> tuple[list[tuple[int, float]], int]:
+    """ONE kernel pass per shard serving BOTH the ranked page and the
+    pre-pagination match count -> ([(doc_id, score)] offset-sliced and
+    globally ranked, n_matched) — the warm server's boolean hot path,
+    same contract as index/wand.search_packed_fused."""
+    from ..index.wand import FUSED_OUT_SCHEMA, _site_members
+
+    if k < 0 or offset < 0:
+        raise ValueError(
+            f"k and offset must be >= 0 (got k={k}, offset={offset})"
+        )
+    ast = parse_bool_query(query) if isinstance(query, str) else query
+    if lemmatize:
+        ast = normalize(lemmatize_ast(ast))
+    leaves = leaf_terms(ast)
+    if not leaves:
+        return [], 0
+    exc = (
+        np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
+        if excluded_doc_ids
+        else None
+    )
+    k_eff = offset + k
+    seg = segments.filter(F.col("term").isin(leaves))
+    if site is None:
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: bool_shard_topk_count(
+                pdf, ast, n_docs, avgdl, k_eff, excluded=exc
+            ),
+            schema=FUSED_OUT_SCHEMA,
+        )
+    else:
+        if doc_stats is None:
+            raise ValueError(
+                "site filter on the packed boolean path needs "
+                "doc_stats (doc_id, site)"
+            )
+        if n_shards is None:
+            n_shards = int(
+                segments.agg(F.max("shard")).collect()[0][0]
+            ) + 1
+        members = _site_members(doc_stats, site, n_shards)
+
+        def _kernel(seg_pdf: pd.DataFrame, mem_pdf: pd.DataFrame):
+            allowed = np.sort(
+                mem_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+            )
+            return bool_shard_topk_count(
+                seg_pdf, ast, n_docs, avgdl, k_eff,
+                allowed=allowed, excluded=exc,
+            )
+
+        per_shard = (
+            seg.groupby("shard")
+            .cogroup(members.groupby("shard"))
+            .applyInPandas(_kernel, schema=FUSED_OUT_SCHEMA)
+        )
+    rows = per_shard.collect()
+    count = sum(r["n_matched"] for r in rows if r["n_hit"] == -1)
+    hits = [r for r in rows if r["n_hit"] != -1]
+    hits.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    return (
+        [(r["doc_id"], r["score"]) for r in hits[offset:k_eff]],
+        int(count),
+    )

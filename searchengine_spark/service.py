@@ -286,25 +286,27 @@ class SearchService:
         offset: int = 0,
     ) -> dict:
         """Explicit AND/OR/NOT retrieval over the packed segments
-        (operators/boolquery.py): {result, data: [{site, uri, url,
-        doc_id, title, relevance}]} ranked (score desc, doc_id asc),
-        sliced [offset, offset+limit); ``site`` restricts candidates
-        (corpus statistics stay global). Deletes are honored via the
-        tombstone deny-list, and delta runs are visible (the kernel's
-        multi-run merge). Raises ValueError on syntax errors and on
-        ungrounded (negation-only) queries."""
-        from .operators.boolquery import bool_search_packed
+        (operators/boolquery.py): {result, count, data: [{site, uri,
+        url, doc_id, title, relevance}]} ranked (score desc, doc_id
+        asc), sliced [offset, offset+limit); ``count`` is the
+        pre-pagination match total, computed in the SAME fused kernel
+        pass as the page; ``site`` restricts candidates (corpus
+        statistics stay global). Deletes are honored via the tombstone
+        deny-list, and delta runs are visible (the kernel's multi-run
+        merge). Raises ValueError on syntax errors and on ungrounded
+        (negation-only) queries."""
+        from .operators.boolquery import bool_search_packed_fused
 
-        hits = bool_search_packed(
+        hits, count = bool_search_packed_fused(
             self.spark, self.segments, self.n_docs, self.avgdl, query,
             k=limit, excluded_doc_ids=self.tombstoned, site=site,
             offset=offset, doc_stats=self.serve_meta,
             n_shards=self.n_shards,
-        ).collect()
+        )
         if not hits:
-            return {"result": True, "data": []}
+            return {"result": True, "count": count, "data": []}
         winners = self.spark.createDataFrame(
-            [(int(r["doc_id"]), float(r["score"])) for r in hits],
+            [(int(d), float(s)) for d, s in hits],
             "doc_id long, score double",
         )
         rows = (
@@ -327,7 +329,7 @@ class SearchService:
                     "relevance": r["score"],
                 }
             )
-        return {"result": True, "data": data}
+        return {"result": True, "count": count, "data": data}
 
     # -- /api/suggest (beyond-reference) ---------------------------------------
 

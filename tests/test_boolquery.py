@@ -316,3 +316,39 @@ def test_packed_site_filter_and_offset(spark, index, constants, segments):
     ]
     assert [d for d, _ in got_off] == [d for d, _ in ranked[2:5]]
     assert np.allclose([s for _, s in got_off], [s for _, s in ranked[2:5]])
+
+
+def test_fused_count_and_page(spark, index, constants, segments):
+    """bool_search_packed_fused: the page equals bool_search_packed and
+    the count equals the relational match total — incl. site filter,
+    offset, tombstones, and the pure-OR fast path."""
+    n, avgdl = constants
+    site_of = {r["doc_id"]: r["site"] for r in index.doc_stats.collect()}
+    for q in [BOOL_QUERIES[0], "поиск OR данные OR spark", "индекс"]:
+        rel = {
+            r["doc_id"]: r["score"]
+            for r in B.bool_search(
+                spark, index, q, constants=constants
+            ).collect()
+        }
+        ranked = sorted(rel.items(), key=lambda x: (-x[1], x[0]))
+        hits, count = B.bool_search_packed_fused(
+            spark, segments, n, avgdl, q, k=5, offset=2
+        )
+        assert count == len(rel), q
+        assert [d for d, _ in hits] == [d for d, _ in ranked[2:7]], q
+        # site-filtered count
+        if ranked:
+            site = site_of[ranked[0][0]]
+            members = {d for d, s in site_of.items() if s == site}
+            hits_s, count_s = B.bool_search_packed_fused(
+                spark, segments, n, avgdl, q, k=5,
+                site=site, doc_stats=index.doc_stats,
+            )
+            assert count_s == len(set(rel) & members), q
+        # tombstoned docs vanish from the count too
+        deny = [d for d, _ in ranked[:2]]
+        _, count_t = B.bool_search_packed_fused(
+            spark, segments, n, avgdl, q, k=5, excluded_doc_ids=deny
+        )
+        assert count_t == len(rel) - len(deny), q

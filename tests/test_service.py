@@ -225,6 +225,8 @@ def test_boolean_endpoint_matches_relational(spark, served):
         key=lambda x: (-x[1], x[0]),
     )[:10]
     assert [d["doc_id"] for d in resp["data"]] == [d for d, _ in want]
+    all_matches = bool_search(spark, idx, q, constants=constants).count()
+    assert resp["count"] == all_matches  # pre-pagination total
     for d, (_, s) in zip(resp["data"], want):
         assert abs(d["relevance"] - s) < 1e-9
         assert d["url"].startswith("https://site")
