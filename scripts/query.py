@@ -29,7 +29,7 @@ def main() -> None:
     ap.add_argument("--site", default=None)
     ap.add_argument("--mode",
                     choices=["packed", "relational", "phrase", "boolean",
-                             "suggest"],
+                             "suggest", "prefix"],
                     default="packed",
                     help="phrase = exact-sequence retrieval over "
                          "<index>/possegs (build_index.py --positional); "
@@ -76,6 +76,16 @@ def main() -> None:
         from searchengine_spark.operators.fuzzy import suggest_terms
 
         out = suggest_terms(idx.term_stats, args.query, topn=args.k)
+    elif args.mode == "prefix":
+        from searchengine_spark.operators.prefix import (
+            prefix_search_packed,
+        )
+
+        segments = spark.read.parquet(f"{args.index}/segments")
+        out = prefix_search_packed(
+            spark, segments, idx.term_stats, n_docs, avgdl, args.query,
+            k=args.k,
+        )
     elif args.mode == "packed":
         segments = spark.read.parquet(f"{args.index}/segments")
         out = search_packed(

@@ -355,6 +355,64 @@ def q_bool_query(spark, sf_dir):
     )
 
 
+# -- prefix (wildcard) retrieval: bounded dictionary expansion ranked
+#    (df DESC, term ASC) capped at 50 (Lucene bounded-rewrite rule), then
+#    BM25 disjunctive scoring over the expanded terms ----------------------
+PREFIX_Q = "s"  # expands to scan/small/slow/sort/spark/stream at test SFs
+_SQL_PREFIX = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl),
+exp AS (SELECT term, df FROM dfx WHERE term LIKE '{PREFIX_Q}%'
+        ORDER BY df DESC, term LIMIT 50)
+SELECT t.doc_id,
+       floor(sum(
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         * tf * 2.2
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
+       ) * 10000.0 + 0.5)::BIGINT AS score_e4,
+       count(*)::BIGINT AS n_hit
+FROM tf t
+JOIN dl USING (doc_id) JOIN exp USING (term) CROSS JOIN stats
+GROUP BY t.doc_id
+"""
+
+
+@_reg("q_prefix_search", _SQL_PREFIX)
+def q_prefix_search(spark, sf_dir):
+    from .operators.search import bm25_term_score
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    exp = (
+        dfx.filter(F.col("term").startswith(PREFIX_Q))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(50)
+    )
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    return (
+        tf.join(F.broadcast(exp), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w) * 10000.0 + F.lit(0.5)).cast("long")
+            .alias("score_e4"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+        .select("doc_id", "score_e4", "n_hit")
+    )
+
+
 # -- fuzzy term suggestion: SymSpell delete-1 keys + exact levenshtein
 #    verify (oracle = full-scan levenshtein; equal because the delete-1
 #    key match is complete for distance <= 1) --------------------------------
@@ -1072,9 +1130,10 @@ def q_latest_event_per_user(spark, sf_dir):
 # never be silently dropped from the registry by forgetting to list it here
 # (tests/test_entry_contract.py asserts the ordering is a permutation).
 _PRIORITY = [
-    # NEW this round (r4: boolean AND/OR/NOT retrieval, SymSpell
-    # fuzzy suggestion) — must receive a correctness row
-    "q_bool_query", "q_fuzzy_suggest",
+    # NEW this round (r4: boolean AND/OR/NOT retrieval, prefix
+    # wildcard retrieval, SymSpell fuzzy suggestion) — must receive a
+    # correctness row
+    "q_bool_query", "q_prefix_search", "q_fuzzy_suggest",
     # reworked this round (r4: rolling-hash dup spans, 60-bit line
     # hash + broadcast guard, range-checked PII regexes) — must
     # receive a correctness row

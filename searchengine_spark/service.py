@@ -331,6 +331,49 @@ class SearchService:
             )
         return {"result": True, "count": count, "data": data}
 
+    # -- /api/prefix (beyond-reference) ----------------------------------------
+
+    def prefix(self, pfx: str, limit: int = 20,
+               max_expansions: int = 50) -> dict:
+        """Wildcard retrieval (``spar*``): bounded dictionary
+        expansion ranked (df desc, term) then disjunctive block-max
+        WAND over the expanded terms (operators/prefix.py). Deletes
+        honored via the tombstone deny-list."""
+        from .operators.prefix import prefix_search_packed
+
+        hits = prefix_search_packed(
+            self.spark, self.segments, self.term_stats, self.n_docs,
+            self.avgdl, pfx, k=limit, max_expansions=max_expansions,
+            excluded_doc_ids=self.tombstoned,
+        ).collect()
+        if not hits:
+            return {"result": True, "data": []}
+        winners = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in hits],
+            "doc_id long, score double",
+        )
+        rows = (
+            self.serve_meta.select("doc_id", "url", "title")
+            .join(F.broadcast(winners), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        data = []
+        for r in rows:
+            url = r["url"]
+            slash = url.find("/", url.find("://") + 3)
+            data.append(
+                {
+                    "site": url[:slash] if slash != -1 else url,
+                    "uri": url[slash:] if slash != -1 else "/",
+                    "url": url,
+                    "doc_id": r["doc_id"],
+                    "title": r["title"],
+                    "relevance": r["score"],
+                }
+            )
+        return {"result": True, "data": data}
+
     # -- /api/suggest (beyond-reference) ---------------------------------------
 
     def suggest(self, word: str, topn: int = 10) -> list[dict]:

@@ -89,7 +89,7 @@ def test_registry_priority_order():
     # r4: reworked entries + the 14 relational entries whose rows were
     # truncated out of the r3 sweep (rotation per VERDICT r3 #3)
     for name in [
-        "q_bool_query", "q_fuzzy_suggest",
+        "q_bool_query", "q_prefix_search", "q_fuzzy_suggest",
         "q_dup_spans", "q_line_dedup", "q_pii_scrub",
         "q_filter_range_scan", "q_semi_join", "q_anti_join", "q_set_ops",
         "q_running_total", "q_topk_per_group", "q_latest_event_per_user",

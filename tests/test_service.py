@@ -255,3 +255,21 @@ def test_suggest_endpoint(spark, served):
     dfs = {r["term"]: r["df"] for r in idx.term_stats.collect()}
     for g in got:
         assert g["df"] == dfs[g["term"]]
+
+
+def test_prefix_endpoint(spark, served):
+    svc, idx, constants = served
+    from searchengine_spark.operators.prefix import prefix_search
+
+    resp = svc.prefix("по", limit=10)
+    assert resp["result"] is True and resp["data"]
+    rel = sorted(
+        ((r["doc_id"], r["score"])
+         for r in prefix_search(
+             spark, idx, "по", constants=constants
+         ).collect()
+         if not (svc.tombstoned and r["doc_id"] in svc.tombstoned)),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d["doc_id"] for d in resp["data"]] == [d for d, _ in rel]
+    assert svc.prefix("zzzznope") == {"result": True, "data": []}
