@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.hashing import h32_sql
+from .functions.hashing import h32, h32_sql
 
 # the fixed reference query for documents-table retrieval checks
 QT = ["spark", "join", "stream"]
@@ -1117,6 +1117,116 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+# -- PageRank static rank over a deterministic doc-id link graph -------------
+# The documents table carries no hyperlinks, so the graph is derived from
+# doc_id by a hash rule BOTH engines compute identically: doc v emits
+# out-edges j=1..(v mod 4) to h32('pr'||v||':'||j) mod N (self-loops
+# dropped, ~25% of docs dangling). The ranking itself is the real
+# operator (operators/linkgraph.pagerank): exact-integer PageRank whose
+# BIGINT recurrence is order- and partitioning-independent, so the
+# DuckDB oracle (same recurrence unrolled as a WITH chain) matches
+# bit-for-bit. Real-html link extraction is exercised on the synthetic
+# corpus in tests/test_linkgraph.py (documents has no html column).
+_PR_KEY_SQL = "'pr' || d.doc_id || ':' || t.j"
+_PR_EDGES_SQL = (
+    "SELECT src, dst FROM ("
+    " SELECT d.doc_id AS src,"
+    f" ({h32_sql(_PR_KEY_SQL)} % nn.n) AS dst"
+    " FROM documents d,"
+    " (SELECT count(*)::BIGINT AS n FROM documents) nn,"
+    " (VALUES (1), (2), (3)) t(j)"
+    " WHERE t.j <= d.doc_id % 4"
+    ") WHERE dst <> src GROUP BY src, dst"
+)
+
+
+def _pr_edges(docs: DataFrame) -> DataFrame:
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    key = F.concat(
+        F.lit("pr"), F.col("src").cast("string"),
+        F.lit(":"), F.col("j").cast("string"),
+    )
+    return (
+        docs.select(F.col("doc_id").alias("src"))
+        .select("src", j)
+        .filter(F.col("j") <= F.col("src") % 4)
+        .crossJoin(F.broadcast(nn))
+        .select("src", (h32(key) % F.col("n")).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+
+
+@_reg(
+    "q_pagerank",
+    None,  # set right below — needs the unrolled WITH chain
+)
+def q_pagerank(spark, sf_dir):
+    from .operators.linkgraph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    return pagerank(
+        _pr_edges(docs), docs.select(F.col("doc_id").alias("node")), n_iter=3
+    )
+
+
+def _pagerank_oracle() -> str:
+    from .operators.linkgraph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        _PR_EDGES_SQL, "SELECT doc_id AS node FROM documents", n_iter=3
+    )
+
+
+_REG["q_pagerank"] = (q_pagerank, _pagerank_oracle())
+
+
+# -- static-rank blend: BM25 relevance × PageRank authority ------------------
+# The classic web-ranking composition (Brin & Page 1998 §4.5): a
+# query-DEPENDENT lexical score plus a query-INDEPENDENT authority
+# score. Blend spec (exact integers, so the oracle matches bit-for-bit):
+#   pr_rel_e4 = (rank · 10^4) DIV (scale DIV N)   — rank relative to the
+#               uniform teleport mass, in 1e-4 units (10000 = "exactly
+#               average authority")
+#   blend_e4  = score_e4 + pr_rel_e4              — one BM25 point ≡ one
+#               uniform-mass multiple of authority (equal-weight blend)
+def _blend_sql() -> str:
+    nd = "(SELECT count(*)::BIGINT FROM documents)"
+    pr_rel = f"((p.rank * 10000) // (1000000000000 // {nd}))"
+    return (
+        f"SELECT b.doc_id, b.score_e4, {pr_rel}::BIGINT AS pr_rel_e4,"
+        f" (b.score_e4 + {pr_rel})::BIGINT AS blend_e4"
+        f" FROM ({_SQL_BM25_DISJ}) b"
+        f" JOIN ({_pagerank_oracle()}) p ON b.doc_id = p.node"
+    )
+
+
+@_reg("q_static_rank_blend", None)
+def q_static_rank_blend(spark, sf_dir):
+    from .operators.linkgraph import PR_SCALE
+
+    bm = q_bm25_disjunctive(spark, sf_dir).select("doc_id", "score_e4")
+    pr = q_pagerank(spark, sf_dir)
+    nn = _t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    pr_rel = F.expr(f"(rank * 10000) DIV ({PR_SCALE} DIV nd)").cast("long")
+    return (
+        bm.join(pr, bm["doc_id"] == pr["node"])
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "score_e4",
+            pr_rel.alias("pr_rel_e4"),
+            (F.col("score_e4") + pr_rel).cast("long").alias("blend_e4"),
+        )
+    )
+
+
+_REG["q_static_rank_blend"] = (q_static_rank_blend, _blend_sql())
+
+
 # --- public API ---------------------------------------------------------------
 
 
@@ -1133,7 +1243,8 @@ _PRIORITY = [
     # NEW this round (r4: boolean AND/OR/NOT retrieval, prefix
     # wildcard retrieval, SymSpell fuzzy suggestion) — must receive a
     # correctness row
-    "q_bool_query", "q_prefix_search", "q_fuzzy_suggest",
+    "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
+    "q_static_rank_blend",
     # reworked this round (r4: rolling-hash dup spans, 60-bit line
     # hash + broadcast guard, range-checked PII regexes) — must
     # receive a correctness row

@@ -1,0 +1,243 @@
+"""Web link graph: anchor extraction, edge resolution, PageRank.
+
+The reference engine ranks purely lexically (BM25-style relevance,
+services/ApiService.java) — at web scale every production engine also
+carries a QUERY-INDEPENDENT static rank computed from the hyperlink
+graph (Brin & Page 1998). This module adds that layer Spark-first:
+
+  * ``extract_links``  — (src, dst, anchor) from raw html, pure native
+    columns (regexp_extract_all over the utf-8-cast binary, explode,
+    relative-href resolution against the source site) — zero Python in
+    the hot path, whole-stage codegen end to end;
+  * ``resolve_edges``  — drop hrefs that point outside the corpus
+    (dead links) with a left-semi join against the url set, dedup,
+    drop self-loops;
+  * ``pagerank``       — iterative PageRank with dangling-mass
+    redistribution, computed in EXACT INTEGER arithmetic (rank mass
+    scaled to ``scale`` and floor-divided at every step) so the result
+    is bit-identical under any partitioning, any join order, any
+    engine — no float-summation order sensitivity. This is what makes
+    a full DuckDB oracle possible (``pagerank_oracle_sql`` unrolls the
+    same recurrence as a WITH chain);
+  * ``anchor_postings`` — inbound anchor-text term frequencies per
+    target page (the classic "anchor text describes the target better
+    than the target describes itself" signal; Brin & Page §2.2).
+
+Scale notes (10^12 docs): extraction is map-only. ``resolve_edges`` is
+one shuffle keyed by dst url (hash-spread; no skew worse than the
+in-degree distribution, and the semi-join build side is the corpus url
+set, never collected). Each PageRank iteration is two shuffles (src-keyed
+join, dst-keyed groupBy) over the edge list; the rank frame is |V| rows.
+Lineage is cut with localCheckpoint every iteration (same contract as
+dedup.connected_components) so iteration k never re-executes k-1. The
+dangling mass is a one-row aggregate cross-joined back (Spark broadcasts
+it) — nothing collects to the driver inside the loop. String node ids
+are joined as-is here; a production deployment would dictionary-encode
+urls to int64 once (postings already do this for doc ids) — the
+recurrence is id-type-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# default damping 0.85 as the exact rational 85/100, and a mass scale
+# large enough that floor-loss is negligible yet 100·scale < 2^63
+PR_D_NUM = 85
+PR_D_DEN = 100
+PR_SCALE = 10**12
+
+_HREF_RE = r'href="([^"]+)"'
+_ANCHOR_RE = r'<a href="[^"]*"[^>]*>([^<]*)</a>'
+_SITE_RE = r"^(https?://[^/]+)"
+
+
+def extract_links(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst, anchor): one row per <a href> occurrence in each page.
+
+    Relative hrefs (``/path``) resolve against the source page's
+    scheme+host; absolute http(s) hrefs pass through; anything else
+    (mailto:, javascript:, fragment-only) is dropped. Self-links are
+    dropped. ``anchor`` is the tag's inner text (no nested tags in the
+    generated corpus; a production extractor would strip them).
+
+    Both captures run in one pass over the same utf-8 view of the
+    binary html column; arrays_zip keeps href[i] paired with its own
+    anchor[i]. Map-only — no shuffle, no Python.
+    """
+    html = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1)).alias("href"),
+        F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(1)).alias("anchor"),
+    )
+    site = F.regexp_extract(F.col("src"), _SITE_RE, 1)
+    link = F.explode(pairs).alias("link")
+    href = F.col("link.href")
+    dst = (
+        F.when(href.startswith("http://") | href.startswith("https://"), href)
+        .when(href.startswith("/"), F.concat(site, href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        docs.select(F.col(url_col).alias("src"), link)
+        .select("src", dst.alias("dst"), F.col("link.anchor").alias("anchor"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+
+
+def resolve_edges(links: DataFrame, docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """(src, dst): distinct resolvable edges — dst must be a corpus url.
+
+    One dst-keyed shuffle (left-semi against the url set) + distinct.
+    The url set stays distributed; never broadcast (it is the corpus).
+    """
+    urls = docs.select(F.col(url_col).alias("dst"))
+    return (
+        links.select("src", "dst")
+        .join(urls, "dst", "left_semi")
+        .distinct()
+    )
+
+
+def anchor_postings(links: DataFrame) -> DataFrame:
+    """(url, term, atf): inbound anchor-text term frequency per target.
+
+    The target page is described by the words OTHER pages use to link
+    to it. Tokenization = whitespace split of the anchor text (matching
+    the contract tokenizer); one dst-keyed shuffle.
+    """
+    terms = F.filter(F.split(F.lower(F.col("anchor")), " "), lambda t: t != "")
+    return (
+        links.select(F.col("dst").alias("url"), F.explode(terms).alias("term"))
+        .groupBy("url", "term")
+        .agg(F.count(F.lit(1)).alias("atf"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    d_num: int = PR_D_NUM,
+    d_den: int = PR_D_DEN,
+    scale: int = PR_SCALE,
+    node_col: str = "node",
+) -> DataFrame:
+    """(node, rank): PageRank after exactly ``n_iter`` iterations, in
+    exact integer arithmetic.
+
+    Recurrence (all operations BIGINT, DIV = floor division; every
+    quantity below 100·scale < 2^63 so no overflow):
+
+        r_0(v)   = scale DIV N
+        out(u)   = # distinct out-edges of u        (from ``edges``)
+        dang_t   = sum of r_t(u) over u with out(u) = 0
+        c_t(v)   = sum over (u,v) in E of  r_t(u) DIV out(u)
+        r_{t+1}(v) = ((d_den - d_num)·(scale DIV N)) DIV d_den
+                   + (d_num·(c_t(v) + dang_t DIV N)) DIV d_den
+
+    Because every step floors and every sum is over BIGINTs, the result
+    is independent of partitioning and summation order — the property
+    that lets a DuckDB oracle reproduce it bit-for-bit
+    (``pagerank_oracle_sql``). Floor-loss strictly leaks mass (total
+    rank ≤ scale), never creates it, so ranks stay bounded.
+
+    ``edges`` must be distinct and self-loop-free (``resolve_edges``
+    guarantees both). ``nodes`` is the full vertex set (one column
+    ``node_col``) — vertices with no in-links still get teleport mass.
+    N is one driver scalar (a count, same budget class as the manifest
+    rows); the per-iteration dangling mass stays in-plan as a one-row
+    cross-joined aggregate.
+    """
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            F.col(node_col).alias("node"), F.lit(0).cast("long").alias("rank")
+        )
+    r0 = scale // n_nodes
+    teleport = ((d_den - d_num) * r0) // d_den
+
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    ranks = nodes.select(
+        F.col(node_col).alias("node"), F.lit(r0).cast("long").alias("rank")
+    )
+    for _ in range(n_iter):
+        with_out = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "rank", "out")
+        # one-row dangling-mass aggregate, cross-joined (broadcast) back
+        dang = with_out.filter(F.col("out").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang")
+        )
+        contrib = (
+            edges.join(
+                with_out.filter(F.col("out").isNotNull()),
+                edges["src"] == F.col("node"),
+            )
+            .select("dst", F.expr("rank DIV out").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, F.col("node") == contrib["dst"], "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{d_num} * (coalesce(c, 0) + (dang DIV {n_nodes}))"
+                        f" DIV {d_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()  # cut lineage: iter k never re-runs k-1
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    nodes_cte: str,
+    n_iter: int = 3,
+    d_num: int = PR_D_NUM,
+    d_den: int = PR_D_DEN,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB WITH-chain unrolling the exact recurrence of ``pagerank``.
+
+    ``edges_cte`` / ``nodes_cte`` are SQL bodies producing (src, dst)
+    and (node) respectively. Returns a full SELECT yielding
+    (node, rank) after ``n_iter`` iterations — bit-identical to the
+    Spark operator because both sides floor at the same points and sum
+    only integers. DuckDB's ``//`` floors toward -inf like Spark's DIV
+    for the non-negative quantities involved.
+    """
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        f"nodes AS ({nodes_cte})",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*)::BIGINT AS out FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, ({scale} // n)::BIGINT AS rank FROM nodes, nn)",
+    ]
+    for t in range(n_iter):
+        prev, cur = f"r{t}", f"r{t + 1}"
+        parts += [
+            f"dang{t} AS (SELECT coalesce(sum(r.rank), 0)::BIGINT AS dang"
+            f" FROM {prev} r LEFT JOIN outdeg o ON r.node = o.src"
+            f" WHERE o.src IS NULL)",
+            f"c{t} AS (SELECT e.dst AS node, sum(r.rank // o.out)::BIGINT AS c"
+            f" FROM edges e JOIN {prev} r ON e.src = r.node"
+            f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst)",
+            f"{cur} AS (SELECT r.node,"
+            f" ((({d_den} - {d_num}) * ({scale} // n)) // {d_den}"
+            f" + ({d_num} * (coalesce(c.c, 0) + (d.dang // n))) // {d_den}"
+            f")::BIGINT AS rank"
+            f" FROM r{t} r LEFT JOIN c{t} c ON r.node = c.node,"
+            f" dang{t} d, nn)",
+        ]
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM r{n_iter}"

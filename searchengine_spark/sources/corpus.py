@@ -78,7 +78,35 @@ def _doc_words(
     return words
 
 
-def _decorate_html(title: str, body_words: list[str], rng: np.random.RandomState) -> str:
+def _link_href(row_id: int, draw: int) -> str:
+    """Deterministic anchor target from (row_id, one rng draw).
+
+    Derived purely from the draw the old generator already consumed
+    (``rng.randint(0, 999)``) so the rng sequence — and hence every
+    other byte of every document — is unchanged. Targets point
+    BACKWARD to smaller row ids, which always exist in a dense
+    0..n-1 corpus regardless of corpus size:
+
+      * same-site relative link ``/page{row_id - 8k}`` (site = id mod
+        8, so an 8-multiple stride stays on-site) — most links;
+      * cross-site absolute link every 5th draw;
+      * dead link ``/l{draw}`` when no smaller target exists (and for
+        early rows) — real web graphs have unresolvable hrefs; the
+        resolver drops them by anti-joining the corpus url set.
+    """
+    k = 1 + draw % 16
+    tgt = row_id - 8 * k
+    if tgt < 0:
+        return f"/l{draw}"
+    if draw % 5 == 0:
+        t2 = row_id - k
+        return f"https://site{t2 % N_SITES}.example/page{t2}"
+    return f"/page{tgt}"
+
+
+def _decorate_html(
+    title: str, body_words: list[str], rng: np.random.RandomState, row_id: int = -1
+) -> str:
     """Wrap text in HTML + whitespace noise that extract_text undoes."""
     parts: list[str] = []
     for w in body_words:
@@ -88,7 +116,8 @@ def _decorate_html(title: str, body_words: list[str], rng: np.random.RandomState
         elif r < 0.08:
             parts.append(f"<em>{w}</em>")
         elif r < 0.10:
-            parts.append(f'<a href="/l{int(rng.randint(0, 999))}">{w}</a>')
+            draw = int(rng.randint(0, 999))
+            parts.append(f'<a href="{_link_href(row_id, draw)}">{w}</a>')
         else:
             parts.append(w)
     seps = []
@@ -125,7 +154,7 @@ def _gen_one(row_id: int, words_scale: int = 1) -> dict:
     # noise) and once in <p>; extracted text = "title body…" where body
     # repeats the title words — so text == title + ' ' + body
     text = title + " " + body
-    html = _decorate_html(title, words, rng)
+    html = _decorate_html(title, words, rng, row_id)
     site = int(row_id) % N_SITES
     return {
         "url": f"https://site{site}.example/page{int(row_id)}",

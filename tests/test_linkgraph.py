@@ -1,0 +1,155 @@
+"""Link graph: extraction parity vs a pure-Python reference, edge
+resolution, anchor postings, and exact-integer PageRank invariants
+(partitioning independence, mass conservation, dangling handling).
+
+The DuckDB-oracle check of the PageRank recurrence itself rides on the
+contract entry ``q_pagerank`` (tests/test_entry_contract.py runs it
+like every other entry); these tests cover the html-extraction side
+the documents table cannot exercise (it has no html column).
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.linkgraph import (
+    anchor_postings,
+    extract_links,
+    pagerank,
+    resolve_edges,
+)
+from searchengine_spark.sources.corpus import corpus_rows
+
+_A_RE = re.compile(r'<a href="([^"]*)"[^>]*>([^<]*)</a>')
+_SITE_RE = re.compile(r"^(https?://[^/]+)")
+
+
+def _py_links(rows):
+    """Pure-Python reference extraction over driver-side corpus rows."""
+    out = []
+    for r in rows:
+        site = _SITE_RE.match(r["url"]).group(1)
+        for href, anchor in _A_RE.findall(r["html"].decode("utf-8")):
+            if href.startswith(("http://", "https://")):
+                dst = href
+            elif href.startswith("/"):
+                dst = site + href
+            else:
+                continue
+            if dst != r["url"]:
+                out.append((r["url"], dst, anchor))
+    return out
+
+
+def _py_pagerank(edges, nodes, n_iter=3, d_num=85, d_den=100, scale=10**12):
+    """Driver-side reference of the exact-integer recurrence."""
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    teleport = ((d_den - d_num) * (scale // n)) // d_den
+    for _ in range(n_iter):
+        dang = sum(rv for v, rv in r.items() if v not in out)
+        c = {}
+        for s, d in edges:
+            c[d] = c.get(d, 0) + r[s] // out[s]
+        r = {
+            v: teleport + (d_num * (c.get(v, 0) + dang // n)) // d_den
+            for v in nodes
+        }
+    return r
+
+
+def test_extract_links_matches_python_reference(spark, corpus_small):
+    got = {
+        (r["src"], r["dst"], r["anchor"])
+        for r in extract_links(corpus_small).collect()
+    }
+    want = set(_py_links(corpus_rows(300)))
+    assert got == want
+    assert len(want) > 100  # the corpus actually links
+
+
+def test_corpus_links_resolve_and_cross_site(spark, corpus_small):
+    edges = resolve_edges(extract_links(corpus_small), corpus_small).collect()
+    urls = {r["url"] for r in corpus_rows(300)}
+    assert len(edges) > 50
+    assert all(e["dst"] in urls and e["src"] != e["dst"] for e in edges)
+
+    def site(u):
+        return _SITE_RE.match(u).group(1)
+
+    # generator emits both same-site relative and cross-site absolute links
+    assert any(site(e["src"]) == site(e["dst"]) for e in edges)
+    assert any(site(e["src"]) != site(e["dst"]) for e in edges)
+    # dead links (/lNNN) were extracted but must not survive resolution
+    raw = extract_links(corpus_small).filter(F.col("dst").contains("/l")).count()
+    assert raw > 0
+    # distinctness
+    assert len(edges) == len({(e["src"], e["dst"]) for e in edges})
+
+
+def test_anchor_postings_counts_inbound_terms(spark, corpus_small):
+    got = {
+        (r["url"], r["term"]): r["atf"]
+        for r in anchor_postings(extract_links(corpus_small)).collect()
+    }
+    want = {}
+    for _, dst, anchor in _py_links(corpus_rows(300)):
+        for t in anchor.lower().split(" "):
+            if t:
+                want[(dst, t)] = want.get((dst, t), 0) + 1
+    assert got == want
+
+
+def test_pagerank_matches_reference_and_conserves_mass(spark, corpus_small):
+    links = extract_links(corpus_small)
+    edges_df = resolve_edges(links, corpus_small)
+    # full-row duplicate rows share a url — the vertex set is distinct
+    nodes_df = corpus_small.select(F.col("url").alias("node")).distinct()
+    got = {r["node"]: r["rank"] for r in pagerank(edges_df, nodes_df, 3).collect()}
+
+    edges = [(e["src"], e["dst"]) for e in edges_df.collect()]
+    nodes = [r["url"] for r in corpus_rows(300)]
+    # full-row duplicate urls collapse in the node frame but not in
+    # corpus_rows — dedup the reference node list the same way
+    nodes = sorted(set(nodes))
+    want = _py_pagerank(edges, nodes)
+    assert got == want
+    # floor-loss only leaks mass: total ≤ scale, and nothing negative
+    total = sum(got.values())
+    assert 0 < total <= 10**12
+    # the top-ranked page actually has in-links
+    indeg = {d for _, d in edges}
+    assert max(got, key=got.get) in indeg
+
+
+def test_pagerank_partitioning_independent(spark, corpus_small):
+    links = extract_links(corpus_small)
+    edges_df = resolve_edges(links, corpus_small)
+    nodes_df = corpus_small.select(F.col("url").alias("node")).distinct()
+    a = {r["node"]: r["rank"] for r in pagerank(edges_df, nodes_df, 2).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges_df.repartition(7), nodes_df.repartition(3), 2
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_all_dangling_is_pure_teleport(spark):
+    # no edges at all: every node keeps teleport + damped dangling share
+    nodes = spark.createDataFrame([(f"n{i}",) for i in range(5)], ["node"])
+    edges = spark.createDataFrame([], "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, nodes, 3).collect()}
+    want = _py_pagerank([], [f"n{i}" for i in range(5)])
+    assert got == want
+
+
+def test_pagerank_empty_nodes(spark):
+    nodes = spark.createDataFrame([], "node string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, nodes, 2).count() == 0
