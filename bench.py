@@ -282,6 +282,20 @@ def main() -> None:
         ).collect()
     )
 
+    # ---- static-rank layer: PageRank over the extracted link graph --------
+    # extraction (map-only) + edge resolve (1 shuffle) + 3 exact-integer
+    # PageRank iterations (2 shuffles each); lands <tmp>/staticrank so
+    # the SearchService below serves blended ranking from it
+    from searchengine_spark.operators.linkgraph import (
+        build_static_rank,
+        write_static_rank,
+    )
+
+    def _static_rank():
+        write_static_rank(build_static_rank(docs, n_iter=3), tmp)
+
+    queries["static_rank"] = timed_converging(_static_rank)
+
     # ---- query latency: FULL reference query set over the packed index ----
     def _time_wand_set() -> list[float]:
         """min-of-N latency per reference query; re-runnable so the
@@ -360,6 +374,9 @@ def main() -> None:
         )
     )
     queries["service_suggest"] = timed(lambda: svc.suggest("поис"))
+    queries["service_blend"] = timed(
+        lambda: svc.search("быстрый поиск слова", limit=20, blend=1.0)
+    )
     # svc stays open: the end-of-run phase protocol may re-measure the
     # service set (closed right before the final JSON below)
 

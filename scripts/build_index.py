@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--positional", action="store_true",
                     help="also build positional runs (<output>/possegs)"
                          " for phrase/proximity queries")
+    ap.add_argument("--static-rank", action="store_true",
+                    help="also build the PageRank static-rank table"
+                         " (<output>/staticrank) for blended ranking")
+    ap.add_argument("--pr-iters", type=int, default=3)
     args = ap.parse_args()
 
     from searchengine_spark.index.manifest import build_packed_resumable
@@ -87,6 +91,15 @@ def main() -> None:
         write_positional_segments(
             build_positional_segments(prepared, shards),
             f"{args.output}/possegs",
+        )
+    if args.static_rank:
+        from searchengine_spark.operators.linkgraph import (
+            build_static_rank,
+            write_static_rank,
+        )
+
+        write_static_rank(
+            build_static_rank(docs, n_iter=args.pr_iters), args.output
         )
     dt = time.time() - t0
     print(f"built index for {n_docs} docs in {dt:.1f}s "

@@ -200,6 +200,50 @@ def pagerank(
     return ranks
 
 
+def build_static_rank(docs: DataFrame, n_iter: int = 3) -> DataFrame:
+    """(doc_id, rank): PageRank over the corpus link graph, keyed by
+    the INDEX identity — xxhash64 of the canonical url, exactly the
+    doc_id rule of ``postings.prepare_docs_counts`` — so the rank
+    table joins against doc_stats / packed-kernel results directly.
+
+    Endpoints pass through the same canonicalization the indexer
+    applies (?#-strip, trailing slash, file reject): a href to
+    ``/page3?utm=x`` must credit the same node the indexer stores.
+    Canonicalization can re-create self-loops (``/page3?a`` →
+    ``/page3``), so they are re-dropped after it. One extraction pass
+    + one resolve shuffle + 2 shuffles per iteration (see
+    ``pagerank``).
+    """
+    from ..functions.urlnorm import canonical_url, is_file_url
+    from ..operators.postings import filter_valid_pages
+
+    base = (
+        filter_valid_pages(docs)
+        .filter(~is_file_url(F.col("url")))
+        .withColumn("url", canonical_url(F.col("url")))
+    )
+    links = (
+        extract_links(base)
+        .select(
+            canonical_url(F.col("src")).alias("src"),
+            canonical_url(F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = resolve_edges(links, base)
+    nodes = base.select(F.col("url").alias("node")).distinct()
+    return pagerank(edges, nodes, n_iter).select(
+        F.xxhash64("node").alias("doc_id"), "rank"
+    )
+
+
+def write_static_rank(rank: DataFrame, base: str) -> None:
+    """Persist the static-rank table at ``<base>/staticrank`` where
+    ``service.SearchService`` probes for it (Hadoop-FS path, so URI
+    index bases work)."""
+    rank.write.mode("overwrite").parquet(f"{base}/staticrank")
+
+
 def pagerank_oracle_sql(
     edges_cte: str,
     nodes_cte: str,

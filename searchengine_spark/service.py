@@ -80,6 +80,19 @@ class SearchService:
             r["term"]: r["df"] for r in self.term_stats.collect()
         }
         self._open_segments()
+        # optional query-independent authority table
+        # (linkgraph.write_static_rank) enabling blended ranking; the
+        # frame stays DISTRIBUTED (|corpus| rows — only the ≤K'
+        # candidates of a blend request ever reach the driver)
+        from .index.manifest import fs_exists
+
+        self.static_rank: DataFrame | None = None
+        self._rank_n = 0
+        if fs_exists(spark, f"{base}/staticrank"):
+            self.static_rank = spark.read.parquet(
+                f"{base}/staticrank"
+            ).cache()
+            self._rank_n = self.static_rank.count()
 
     # -- /api/search ---------------------------------------------------------
 
@@ -92,6 +105,8 @@ class SearchService:
         snippets: bool = False,
         mode: str = "bm25",
         conjunctive: bool = True,
+        blend: float | None = None,
+        oversample: int = 4,
     ) -> dict:
         """SearchResponse dict: {result, count, data:[{site, uri, url,
         doc_id, title, relevance[, snippet]}]}. `count` is the
@@ -102,18 +117,31 @@ class SearchService:
         ONE kernel pass per request (search_packed_fused): each
         shard's WAND kernel returns its top page AND its match count
         in the same applyInPandas call — the two-kernel formulation
-        decoded and intersected every posting list twice."""
+        decoded and intersected every posting list twice.
+
+        `blend=w` reranks by `bm25 + w·authority` (authority = static
+        PageRank relative to uniform mass — see `_blend_hits`) over an
+        oversampled BM25 candidate set of `oversample·(offset+limit)`
+        docs: classic two-stage retrieve-then-rerank. Items then carry
+        `bm25` and `authority` alongside the blended `relevance`."""
         if snippets and self.docs_text is None:
             raise ValueError(
                 "snippets need docs_text (doc_id, text) at open"
             )
+        k_fetch = limit if blend is None else oversample * (offset + limit)
         hits, count = search_packed_fused(
             self.spark, self.segments, self.term_stats, self.n_docs,
-            self.avgdl, query, k=limit, offset=offset, site=site,
+            self.avgdl, query, k=k_fetch,
+            offset=offset if blend is None else 0, site=site,
             mode=mode, conjunctive=conjunctive, df_map=self.df_map,
             doc_stats=self.serve_meta, n_shards=self.n_shards,
             excluded_doc_ids=self.tombstoned,
         )
+        parts = None
+        if blend is not None:
+            reranked = self._blend_hits(hits, blend)[offset:offset + limit]
+            hits = [(d, b) for d, b, _, _ in reranked]
+            parts = {d: (s, a) for d, _, s, a in reranked}
         if not hits:
             return {"result": True, "count": count, "data": []}
         winners = self.spark.createDataFrame(
@@ -152,8 +180,59 @@ class SearchService:
             }
             if snippets:
                 item["snippet"] = r["snippet"]
+            if parts is not None:
+                item["bm25"], item["authority"] = parts[r["doc_id"]]
             data.append(item)
         return {"result": True, "count": count, "data": data}
+
+    def _blend_hits(
+        self, hits: list, w: float
+    ) -> list[tuple[int, float, float, float]]:
+        """Rerank (doc_id, bm25) candidates by `bm25 + w·authority`.
+
+        authority = rank·|V|/scale — 1.0 is exactly-average PageRank
+        mass, so at w=1 one BM25 point trades against one
+        uniform-mass multiple of authority (the integer contract
+        analog is `contract.q_static_rank_blend`). Candidates come
+        from an oversampled BM25 retrieval; a doc outside the BM25
+        top-K' cannot be recovered — the standard two-stage trade,
+        bounded by `oversample`. Docs absent from the rank table
+        (e.g. a page landed by `index_page` after the graph build)
+        get authority 0. The rank table never collects: the ≤K'
+        candidate ids broadcast INTO it and only matches return.
+
+        Returns (doc_id, blended, bm25, authority) sorted
+        (blended desc, doc_id asc)."""
+        from .operators.linkgraph import PR_SCALE
+
+        if self.static_rank is None:
+            raise ValueError(
+                "blend needs a static-rank table at <base>/staticrank "
+                "(operators/linkgraph.write_static_rank)"
+            )
+        if not hits:
+            return []
+        cand = self.spark.createDataFrame(
+            [(int(d),) for d, _ in hits], "doc_id long"
+        )
+        ranks = {
+            r["doc_id"]: r["rank"]
+            for r in self.static_rank.join(
+                F.broadcast(cand), "doc_id"
+            ).collect()
+        }
+        unit = PR_SCALE / self._rank_n
+        out = [
+            (
+                int(d),
+                float(s) + w * (ranks.get(int(d), 0) / unit),
+                float(s),
+                ranks.get(int(d), 0) / unit,
+            )
+            for d, s in hits
+        ]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out
 
     # -- /api/explain (beyond-reference) --------------------------------------
 
@@ -619,7 +698,7 @@ class SearchService:
 
     def close(self) -> None:
         for df in (self.segments, self.doc_stats, self.term_stats,
-                   self.serve_meta,
+                   self.serve_meta, self.static_rank,
                    getattr(self, "pos_segments", None)):
             if df is not None:
                 df.unpersist()
