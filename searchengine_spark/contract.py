@@ -1227,6 +1227,90 @@ def q_static_rank_blend(spark, sf_dir):
 _REG["q_static_rank_blend"] = (q_static_rank_blend, _blend_sql())
 
 
+# -- anchor-text virtual-document BM25 ---------------------------------------
+# Inbound anchor text appended to the target doc before scoring (the
+# Brin & Page §2.2 anchor signal; operators/linkgraph.merge_anchor_tf
+# is the shared TF-merge kernel, exercised on real html by
+# build_index_with_anchors / tests/test_anchor_index.py). Edges reuse
+# the deterministic q_pagerank hash rule; the anchor text of edge
+# (src→dst) is the first 2 non-empty tokens of src's text —
+# filter-then-slice on BOTH engines. Weight 2 keeps everything BIGINT.
+_ANCHOR_W = 2
+_SQL_ANCHOR_BM25 = f"""
+WITH {_SQL_TOK},
+edges AS ({_PR_EDGES_SQL}),
+anch AS (
+  SELECT e.dst AS doc_id,
+         unnest(list_slice(list_filter(string_split(d.text, ' '),
+                x -> x <> ''), 1, 2)) AS term
+  FROM edges e JOIN documents d ON e.src = d.doc_id
+),
+atf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS atf FROM anch GROUP BY doc_id, term
+),
+aug AS (
+  SELECT coalesce(t.doc_id, a.doc_id) AS doc_id,
+         coalesce(t.term, a.term) AS term,
+         coalesce(t.tf, 0) + {_ANCHOR_W} * coalesce(a.atf, 0) AS tf
+  FROM tf t FULL JOIN atf a ON t.doc_id = a.doc_id AND t.term = a.term
+),
+dl2 AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM aug GROUP BY doc_id),
+dfx2 AS (SELECT term, count(*)::BIGINT AS df FROM aug GROUP BY term),
+stats2 AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl2)
+SELECT t.doc_id,
+       floor(sum(
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         * tf * 2.2
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
+       ) * 10000.0 + 0.5)::BIGINT AS score_e4,
+       count(*)::BIGINT AS n_hit
+FROM aug t
+JOIN dl2 USING (doc_id) JOIN dfx2 USING (term) CROSS JOIN stats2
+WHERE term IN {QT_SQL}
+GROUP BY t.doc_id
+"""
+
+
+@_reg("q_anchor_bm25", _SQL_ANCHOR_BM25)
+def q_anchor_bm25(spark, sf_dir):
+    from .operators.linkgraph import merge_anchor_tf
+    from .operators.search import bm25_term_score
+
+    docs = _t(spark, sf_dir, "documents")
+    first2 = F.slice(
+        F.filter(F.split("text", " "), lambda t: t != ""), 1, 2
+    )
+    src_terms = docs.select(
+        F.col("doc_id").alias("src"), F.explode(first2).alias("term")
+    )
+    atf = (
+        _pr_edges(docs)
+        .join(src_terms, "src")
+        .groupBy(F.col("dst").alias("doc_id"), "term")
+        .agg(F.count(F.lit(1)).alias("atf"))
+    )
+    aug = merge_anchor_tf(_tf(docs), atf, _ANCHOR_W)
+    dl = aug.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    dfx = aug.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    return (
+        aug.filter(F.col("term").isin(QT))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx.filter(F.col("term").isin(QT))), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w) * 10000.0 + F.lit(0.5)).cast("long").alias("score_e4"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+        .select("doc_id", "score_e4", "n_hit")
+    )
+
+
 # --- public API ---------------------------------------------------------------
 
 
@@ -1244,7 +1328,7 @@ _PRIORITY = [
     # wildcard retrieval, SymSpell fuzzy suggestion) — must receive a
     # correctness row
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
-    "q_static_rank_blend",
+    "q_static_rank_blend", "q_anchor_bm25",
     # reworked this round (r4: rolling-hash dup spans, 60-bit line
     # hash + broadcast guard, range-checked PII regexes) — must
     # receive a correctness row

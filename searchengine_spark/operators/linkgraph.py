@@ -200,6 +200,123 @@ def pagerank(
     return ranks
 
 
+def merge_anchor_tf(
+    tf: DataFrame, atf: DataFrame, weight: int = 1
+) -> DataFrame:
+    """tf' = tf + weight·atf over (doc_id, term) — the postings-level
+    form of the anchor VIRTUAL-DOCUMENT model (inbound anchor text
+    appended ``weight`` times to the target doc before indexing;
+    Brin & Page 1998 §2.2). Full-outer: an anchor can introduce a term
+    the target never contains — that is the point of the signal.
+
+    One shuffle on (doc_id, term) — both sides are already TF-shaped
+    (one row per doc-term), never token-exploded.
+    """
+    t = tf.select("doc_id", "term", F.col("tf").cast("long").alias("otf"))
+    a = atf.select(
+        "doc_id", "term",
+        (F.lit(weight) * F.col("atf")).cast("long").alias("wtf"),
+    )
+    return t.join(a, ["doc_id", "term"], "full_outer").select(
+        "doc_id", "term",
+        (F.coalesce(F.col("otf"), F.lit(0))
+         + F.coalesce(F.col("wtf"), F.lit(0))).alias("tf"),
+    )
+
+
+def anchor_term_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, atf): inbound anchor-text LEMMA frequencies per
+    corpus target, analyzed by the same pipeline as document text
+    (term_counts_udf: tokenize → lemmatize → stop-filter), keyed by
+    the index identity (xxhash64 of the canonical url).
+
+    Source docs dedup by canonical url BEFORE extraction so a
+    duplicated page contributes its anchors once (the index keeps one
+    copy of the page; duplicate urls carry identical html, so which
+    survives is irrelevant — same argument as prepare_docs_counts).
+    Anchors to urls outside the corpus are dropped (left-semi). Per
+    target, anchor texts concatenate (order-free: the UDF only
+    counts) into ONE analyzer call — the Python boundary sees one row
+    per linked-to doc, not one per anchor.
+    """
+    from ..functions.udfs import term_counts_udf
+    from ..functions.urlnorm import canonical_url, is_file_url
+    from ..operators.postings import explode_term_counts, filter_valid_pages
+
+    base = (
+        filter_valid_pages(docs)
+        .filter(~is_file_url(F.col("url")))
+        .withColumn("url", canonical_url(F.col("url")))
+        .dropDuplicates(["url"])
+    )
+    links = (
+        extract_links(base)
+        .select(
+            canonical_url(F.col("src")).alias("src"),
+            canonical_url(F.col("dst")).alias("dst"),
+            "anchor",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .join(base.select(F.col("url").alias("dst")), "dst", "left_semi")
+    )
+    per_target = (
+        links.groupBy("dst")
+        .agg(F.concat_ws(" ", F.collect_list("anchor")).alias("atext"))
+        .select(
+            F.xxhash64("dst").alias("doc_id"),
+            term_counts_udf(F.col("atext")).alias("term_counts"),
+        )
+    )
+    return explode_term_counts(per_target).withColumnRenamed("tf", "atf")
+
+
+def build_index_with_anchors(
+    docs: DataFrame, weight: int = 1, use_html: bool = True
+):
+    """IndexTables over the anchor-augmented corpus: every doc indexed
+    as if the text of each inbound anchor were appended ``weight``
+    times (tf' = tf + w·atf, doclen' = Σ tf', df/cf recomputed). The
+    result is a plain IndexTables — packing, WAND, the service, the
+    whole downstream engine serve the anchor signal unchanged.
+
+    Exactly equivalent to ``build_index`` over a corpus whose text
+    columns carry the appended anchor text (pinned by
+    ``tests/test_anchor_index.py``), without ever materializing the
+    augmented blobs: the merge runs at TF granularity.
+    """
+    from ..operators.postings import (
+        IndexTables,
+        build_term_stats,
+        explode_term_counts,
+        prepare_docs_counts,
+    )
+
+    prepared = prepare_docs_counts(docs, use_html=use_html)
+    own = explode_term_counts(prepared)
+    atf = anchor_term_counts(docs).join(
+        prepared.select("doc_id"), "doc_id", "left_semi"
+    )
+    postings = merge_anchor_tf(own, atf, weight).select(
+        "term", "doc_id", F.col("tf").cast("int").alias("tf")
+    )
+    dl = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doclen")
+    )
+    # left join: a doc whose text AND anchors are all stop-filtered
+    # has no postings but stays servable (doclen 0), matching
+    # build_doc_stats over a prepared frame with empty lemmas
+    doc_stats = (
+        prepared.select("doc_id", "url", "site", "title")
+        .join(dl, "doc_id", "left")
+        .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0).cast("long")))
+    )
+    return IndexTables(
+        postings=postings,
+        term_stats=build_term_stats(postings),
+        doc_stats=doc_stats,
+    )
+
+
 def build_static_rank(docs: DataFrame, n_iter: int = 3) -> DataFrame:
     """(doc_id, rank): PageRank over the corpus link graph, keyed by
     the INDEX identity — xxhash64 of the canonical url, exactly the
