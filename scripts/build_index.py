@@ -48,6 +48,9 @@ def main() -> None:
                     help="also build the PageRank static-rank table"
                          " (<output>/staticrank) for blended ranking")
     ap.add_argument("--pr-iters", type=int, default=3)
+    ap.add_argument("--anchors", type=int, default=0, metavar="W",
+                    help="index inbound anchor text with weight W"
+                         " (virtual-document model; 0 = off)")
     args = ap.parse_args()
 
     from searchengine_spark.index.manifest import build_packed_resumable
@@ -65,8 +68,17 @@ def main() -> None:
     else:
         ap.error("one of --input / --synthetic is required")
 
+    prepared = None
+    if args.anchors:
+        from searchengine_spark.operators.linkgraph import (
+            prepared_with_anchors,
+        )
+
+        prepared = prepared_with_anchors(
+            docs, weight=args.anchors, use_html=args.use_html
+        )
     idx = materialize_index(spark, docs, f"{args.output}/idx",
-                            use_html=args.use_html)
+                            use_html=args.use_html, prepared=prepared)
     n_docs, avgdl = corpus_constants(idx.doc_stats)
     build_packed_resumable(
         spark, idx, args.output, n_docs, avgdl,

@@ -249,9 +249,19 @@ def anchor_term_counts(docs: DataFrame) -> DataFrame:
     counts) into ONE analyzer call — the Python boundary sees one row
     per linked-to doc, not one per anchor.
     """
+    from ..operators.postings import explode_term_counts
+
+    return explode_term_counts(
+        _anchor_counts_per_target(docs)
+    ).withColumnRenamed("tf", "atf")
+
+
+def _anchor_counts_per_target(docs: DataFrame) -> DataFrame:
+    """(doc_id, term_counts): per-target inbound anchor lemma counts
+    (see anchor_term_counts for the semantics and scale shape)."""
     from ..functions.udfs import term_counts_udf
     from ..functions.urlnorm import canonical_url, is_file_url
-    from ..operators.postings import explode_term_counts, filter_valid_pages
+    from ..operators.postings import filter_valid_pages
 
     base = (
         filter_valid_pages(docs)
@@ -269,7 +279,7 @@ def anchor_term_counts(docs: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .join(base.select(F.col("url").alias("dst")), "dst", "left_semi")
     )
-    per_target = (
+    return (
         links.groupBy("dst")
         .agg(F.concat_ws(" ", F.collect_list("anchor")).alias("atext"))
         .select(
@@ -277,7 +287,52 @@ def anchor_term_counts(docs: DataFrame) -> DataFrame:
             term_counts_udf(F.col("atext")).alias("term_counts"),
         )
     )
-    return explode_term_counts(per_target).withColumnRenamed("tf", "atf")
+
+
+def prepared_with_anchors(
+    docs: DataFrame, weight: int = 1, use_html: bool = True
+) -> DataFrame:
+    """prepare_docs_counts frame with inbound anchor lemma counts
+    merged into each doc's term_counts map (tf' = tf + w·atf) — the
+    PRODUCTION ingredient: feed it to ``materialize_index`` /
+    ``build_packed_resumable`` (``build_index.py --anchors W``) and
+    the single-pass resumable packed build, WAND, and the service all
+    serve the anchor signal with no downstream change.
+
+    The merge is pure native column math (map_zip_with over the two
+    TF maps) — no extra Python pass, one doc_id-keyed left join.
+    """
+    from ..operators.postings import prepare_docs_counts
+
+    prepared = prepare_docs_counts(docs, use_html=use_html)
+    ac = _anchor_counts_per_target(docs).select(
+        "doc_id", F.col("term_counts").alias("ac")
+    )
+    empty_m = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<int>")
+    )
+    m_own = F.coalesce(
+        F.map_from_arrays("term_counts.terms", "term_counts.tfs"), empty_m
+    )
+    m_anc = F.coalesce(F.map_from_arrays("ac.terms", "ac.tfs"), empty_m)
+    merged = F.map_zip_with(
+        m_own,
+        m_anc,
+        lambda k, a, b: (
+            F.coalesce(a, F.lit(0)) + F.lit(weight) * F.coalesce(b, F.lit(0))
+        ).cast("int"),
+    )
+    return (
+        prepared.join(ac, "doc_id", "left")
+        .withColumn(
+            "term_counts",
+            F.struct(
+                F.map_keys(merged).alias("terms"),
+                F.map_values(merged).alias("tfs"),
+            ),
+        )
+        .drop("ac")
+    )
 
 
 def build_index_with_anchors(

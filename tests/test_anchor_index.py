@@ -119,6 +119,27 @@ def test_anchor_only_term_retrieves_target(spark):
     assert "https://a.example/2" in hits
 
 
+def test_prepared_with_anchors_feeds_materialize(spark, tmp_path):
+    # the production single-pass path (materialize_index over a
+    # prepared_with_anchors frame) must land the same index the lazy
+    # TF-level merge builds
+    from searchengine_spark.operators.linkgraph import prepared_with_anchors
+    from searchengine_spark.operators.postings import materialize_index
+
+    docs = corpus_df(spark, N)
+    got = materialize_index(
+        spark, docs, str(tmp_path / "idx"),
+        prepared=prepared_with_anchors(docs, weight=W),
+    )
+    want = build_index_with_anchors(docs, weight=W)
+    assert {(r["term"], r["doc_id"]): r["tf"] for r in got.postings.collect()} \
+        == {(r["term"], r["doc_id"]): r["tf"] for r in want.postings.collect()}
+    assert {r["doc_id"]: r["doclen"] for r in got.doc_stats.collect()} \
+        == {r["doc_id"]: r["doclen"] for r in want.doc_stats.collect()}
+    assert {r["term"]: (r["df"], r["cf"]) for r in got.term_stats.collect()} \
+        == {r["term"]: (r["df"], r["cf"]) for r in want.term_stats.collect()}
+
+
 def test_no_links_degenerates_to_plain_index(spark):
     docs = spark.createDataFrame(
         [
