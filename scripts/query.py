@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--scoring", choices=["bm25", "legacy"], default="bm25",
                     help="legacy = reference sum(rank)/max(rank)")
     ap.add_argument("--disjunctive", action="store_true")
+    ap.add_argument("--blend", type=float, default=None, metavar="W",
+                    help="rerank by bm25 + W*PageRank authority (needs "
+                         "<index>/staticrank from build_index.py "
+                         "--static-rank); serves through the warm "
+                         "SearchService path")
     args = ap.parse_args()
 
     from searchengine_spark.index.wand import search_packed
@@ -47,6 +52,19 @@ def main() -> None:
     from searchengine_spark.session import get_spark
 
     spark = get_spark("query")
+    if args.blend is not None:
+        from searchengine_spark.service import SearchService
+
+        svc = SearchService(spark, args.index)
+        t0 = time.time()
+        resp = svc.search(args.query, site=args.site, offset=args.offset,
+                          limit=args.k, blend=args.blend)
+        dt = time.time() - t0
+        for d in resp["data"]:
+            print(d)
+        print(f"-- {len(resp['data'])} of {resp['count']} results "
+              f"in {dt * 1000:.0f} ms")
+        return
     idx = read_index(spark, f"{args.index}/idx")
     n_docs, avgdl = corpus_constants(idx.doc_stats)
     t0 = time.time()

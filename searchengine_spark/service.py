@@ -84,13 +84,25 @@ class SearchService:
         # (linkgraph.write_static_rank) enabling blended ranking; the
         # frame stays DISTRIBUTED (|corpus| rows — only the ≤K'
         # candidates of a blend request ever reach the driver)
-        from .index.manifest import fs_exists
-
         self.static_rank: DataFrame | None = None
         self._rank_n = 0
-        if fs_exists(spark, f"{base}/staticrank"):
-            self.static_rank = spark.read.parquet(
-                f"{base}/staticrank"
+        self.reload_static_rank()
+
+    def reload_static_rank(self) -> None:
+        """(Re-)read `<base>/staticrank`. Call after an offline rank
+        rebuild (`linkgraph.build_static_rank` over the refreshed
+        corpus — the graph is corpus-derived, so rank refresh is a
+        batch job, not a per-page delta); blended requests serve the
+        new table immediately. Absent table → blend requests raise."""
+        from .index.manifest import fs_exists
+
+        if self.static_rank is not None:
+            self.static_rank.unpersist()
+        self.static_rank = None
+        self._rank_n = 0
+        if fs_exists(self.spark, f"{self.base}/staticrank"):
+            self.static_rank = self.spark.read.parquet(
+                f"{self.base}/staticrank"
             ).cache()
             self._rank_n = self.static_rank.count()
 

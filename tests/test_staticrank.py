@@ -125,6 +125,30 @@ def test_delta_landed_page_has_zero_authority(spark, served_blend):
     assert mine[0]["relevance"] == pytest.approx(mine[0]["bm25"])
 
 
+def test_reload_static_rank_serves_new_table(spark, served_blend):
+    svc, _, _ = served_blend
+    before = svc.search(Q, limit=5, blend=1.0)
+    rows = [(r["doc_id"], r["rank"]) for r in svc.static_rank.collect()]
+    try:
+        doubled = spark.createDataFrame(
+            [(d, r * 2) for d, r in rows], "doc_id long, rank long"
+        )
+        write_static_rank(doubled, svc.base)
+        svc.reload_static_rank()
+        after = svc.search(Q, limit=5, blend=1.0)
+        got = {d["doc_id"]: d["authority"] for d in after["data"]}
+        want = {d["doc_id"]: d["authority"] * 2 for d in before["data"]}
+        for doc_id, a in want.items():
+            if doc_id in got:  # rerank can reshuffle the top-5 set
+                assert got[doc_id] == pytest.approx(a)
+        assert any(doc_id in got for doc_id in want)
+    finally:
+        write_static_rank(
+            spark.createDataFrame(rows, "doc_id long, rank long"), svc.base
+        )
+        svc.reload_static_rank()
+
+
 def test_blend_without_table_raises(spark, tmp_path):
     base = str(tmp_path / "nopr")
     docs = corpus_df(spark, 30)
