@@ -21,7 +21,15 @@ graph (Brin & Page 1998). This module adds that layer Spark-first:
     same recurrence as a WITH chain);
   * ``anchor_postings`` — inbound anchor-text term frequencies per
     target page (the classic "anchor text describes the target better
-    than the target describes itself" signal; Brin & Page §2.2).
+    than the target describes itself" signal; Brin & Page §2.2);
+  * ``build_static_rank`` / ``write_static_rank`` — PageRank keyed by
+    the index's doc identity, persisted where the warm service
+    (service.SearchService.search(blend=w)) serves blended ranking;
+  * ``anchor_term_counts`` / ``build_index_with_anchors`` /
+    ``prepared_with_anchors`` — anchor-text VIRTUAL-DOCUMENT indexing:
+    inbound anchor lemmas merged into the target's TF (tf' = tf +
+    w·atf), feeding either the lazy IndexTables path or the
+    production single-pass materialize/packed build unchanged.
 
 Scale notes (10^12 docs): extraction is map-only. ``resolve_edges`` is
 one shuffle keyed by dst url (hash-spread; no skew worse than the
