@@ -149,6 +149,33 @@ def test_pagerank_all_dangling_is_pure_teleport(spark):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [7, 19, 101, 887, 4242, 90210])
+def test_pagerank_random_graph_matches_reference(spark, seed):
+    """Seeded-random graphs (dangling nodes, sinks, cycles, dense and
+    sparse) vs the driver-side exact-integer reference — the
+    partitioning-independence argument says any discrepancy is a
+    recurrence bug, not ordering noise."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    n = rng.randint(2, 25)
+    n_iter = rng.randint(1, 3)
+    nodes = [f"n{i}" for i in range(n)]
+    possible = [(a, b) for a in nodes for b in nodes if a != b]
+    m = rng.randint(0, min(len(possible), 4 * n))
+    edges = sorted(rng.sample(possible, m))
+    if edges:
+        edges_df = spark.createDataFrame(edges, "src string, dst string")
+    else:
+        edges_df = spark.createDataFrame([], "src string, dst string")
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges_df, nodes_df, n_iter).collect()
+    }
+    assert got == _py_pagerank(edges, nodes, n_iter)
+
+
 def test_pagerank_empty_nodes(spark):
     nodes = spark.createDataFrame([], "node string")
     edges = spark.createDataFrame([], "src string, dst string")
