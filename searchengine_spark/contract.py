@@ -1311,6 +1311,32 @@ def q_anchor_bm25(spark, sf_dir):
     )
 
 
+# -- HITS hubs/authorities over the same deterministic graph -----------------
+# Kleinberg's mutual-reinforcement counterpart to PageRank: hub/auth
+# scores as exact BIGINT alternating-path counts (un-normalized form —
+# rankings equal the normalized classic within each round), so the
+# DuckDB oracle replays the recurrence bit-for-bit.
+@_reg("q_hits", None)
+def q_hits(spark, sf_dir):
+    from .operators.linkgraph import hits
+
+    docs = _t(spark, sf_dir, "documents")
+    return hits(
+        _pr_edges(docs), docs.select(F.col("doc_id").alias("node")), n_iter=2
+    )
+
+
+def _hits_oracle() -> str:
+    from .operators.linkgraph import hits_oracle_sql
+
+    return hits_oracle_sql(
+        _PR_EDGES_SQL, "SELECT doc_id AS node FROM documents", n_iter=2
+    )
+
+
+_REG["q_hits"] = (q_hits, _hits_oracle())
+
+
 # --- public API ---------------------------------------------------------------
 
 
@@ -1328,7 +1354,7 @@ _PRIORITY = [
     # wildcard retrieval, SymSpell fuzzy suggestion) — must receive a
     # correctness row
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
-    "q_static_rank_blend", "q_anchor_bm25",
+    "q_static_rank_blend", "q_anchor_bm25", "q_hits",
     # reworked this round (r4: rolling-hash dup spans, 60-bit line
     # hash + broadcast guard, range-checked PII regexes) — must
     # receive a correctness row

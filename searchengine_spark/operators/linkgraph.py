@@ -218,6 +218,97 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 2,
+    node_col: str = "node",
+) -> DataFrame:
+    """(node, hub, auth): Kleinberg HITS after exactly ``n_iter``
+    mutual-reinforcement rounds, in EXACT integer arithmetic.
+
+    Un-normalized formulation: h_0 = 1 everywhere; each round sets
+    a_t(v) = Σ_{(u,v)∈E} h_{t-1}(u) then h_t(u) = Σ_{(u,v)∈E} a_t(v).
+    Without per-round normalization the scores are exact BIGINT
+    alternating-path COUNTS — a_t counts length-(2t-1) alternating
+    paths ending at v — so rankings equal the classically normalized
+    HITS within each round (normalization is a positive scalar), and
+    a DuckDB oracle (``hits_oracle_sql``) reproduces them
+    bit-for-bit. Overflow bound: values ≤ N^(2·n_iter); callers need
+    N^(2·n_iter) < 2^63 (N ≤ 55k at the default 2 rounds). At true
+    web scale, divide both frames by a per-round floor-div L1
+    normalizer — the ranking property is unchanged; this sandbox keeps
+    the division-free exact form the oracle can replay verbatim.
+
+    Two shuffles per round over the edge list (dst-keyed then
+    src-keyed aggregation); edges materialize once; each frame is
+    checkpointed so round k never re-executes k-1 (same contract as
+    ``pagerank``).
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
+    base = nodes.select(F.col(node_col).alias("node"))
+    h = base.select("node", F.lit(1).cast("long").alias("h"))
+    a = base.select("node", F.lit(0).cast("long").alias("a"))
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a = (
+            base.join(a_raw, base["node"] == a_raw["dst"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("a_raw"), F.lit(0)).cast("long").alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h = (
+            base.join(h_raw, base["node"] == h_raw["src"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("h_raw"), F.lit(0)).cast("long").alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return h.join(a, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    )
+
+
+def hits_oracle_sql(
+    edges_cte: str, nodes_cte: str, n_iter: int = 2
+) -> str:
+    """DuckDB WITH-chain unrolling the exact ``hits`` recurrence.
+    Bit-identical because both sides only sum BIGINTs."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        f"nodes AS ({nodes_cte})",
+        "h0 AS (SELECT node, 1::BIGINT AS h FROM nodes)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts += [
+            f"a{t} AS (SELECT n.node, coalesce(sum(x.h), 0)::BIGINT AS a"
+            f" FROM nodes n LEFT JOIN (SELECT e.dst AS d, h.h"
+            f" FROM edges e JOIN h{t - 1} h ON e.src = h.node) x"
+            f" ON x.d = n.node GROUP BY n.node)",
+            f"h{t} AS (SELECT n.node, coalesce(sum(x.a), 0)::BIGINT AS h"
+            f" FROM nodes n LEFT JOIN (SELECT e.src AS s, a.a"
+            f" FROM edges e JOIN a{t} a ON e.dst = a.node) x"
+            f" ON x.s = n.node GROUP BY n.node)",
+        ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.node, h.h AS hub, a.a AS auth"
+        f" FROM h{n_iter} h JOIN a{n_iter} a USING (node)"
+    )
+
+
 def merge_anchor_tf(
     tf: DataFrame, atf: DataFrame, weight: int = 1
 ) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from searchengine_spark.operators.linkgraph import (
     anchor_postings,
     extract_links,
+    hits,
     pagerank,
     resolve_edges,
 )
@@ -180,3 +181,56 @@ def test_pagerank_empty_nodes(spark):
     nodes = spark.createDataFrame([], "node string")
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank(edges, nodes, 2).count() == 0
+
+
+def _py_hits(edges, nodes, n_iter=2):
+    """Driver-side reference of the exact path-count recurrence."""
+    h = {v: 1 for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        a = {v: 0 for v in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        h = {v: 0 for v in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+    return h, a
+
+
+def test_hits_matches_reference_on_corpus_graph(spark, corpus_small):
+    edges_df = resolve_edges(extract_links(corpus_small), corpus_small)
+    nodes_df = corpus_small.select(F.col("url").alias("node")).distinct()
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(edges_df, nodes_df, 2).collect()
+    }
+    edges = [(e["src"], e["dst"]) for e in edges_df.collect()]
+    nodes = sorted({r["url"] for r in corpus_rows(300)})
+    h, a = _py_hits(edges, nodes, 2)
+    assert got == {v: (h[v], a[v]) for v in nodes}
+    # mutual reinforcement actually happened
+    assert max(x[0] for x in got.values()) > 0
+    assert max(x[1] for x in got.values()) > 0
+
+
+@pytest.mark.parametrize("seed", [3, 77, 555, 12321])
+def test_hits_random_graph_matches_reference(spark, seed):
+    import random as _random
+
+    rng = _random.Random(seed)
+    n = rng.randint(2, 20)
+    n_iter = rng.randint(1, 3)
+    nodes = [f"n{i}" for i in range(n)]
+    possible = [(x, y) for x in nodes for y in nodes if x != y]
+    edges = sorted(rng.sample(possible, rng.randint(0, len(possible))))
+    if edges:
+        edges_df = spark.createDataFrame(edges, "src string, dst string")
+    else:
+        edges_df = spark.createDataFrame([], "src string, dst string")
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(edges_df, nodes_df, n_iter).collect()
+    }
+    h, a = _py_hits(edges, nodes, n_iter)
+    assert got == {v: (h[v], a[v]) for v in nodes}
