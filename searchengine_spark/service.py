@@ -61,6 +61,7 @@ class SearchService:
         base: str,
         docs_text: DataFrame | None = None,
         snippet_mode: str = "word",
+        cache_responses: bool = True,
     ):
         recover(base)  # settle any crashed refresh before reading
         self.spark = spark
@@ -79,6 +80,11 @@ class SearchService:
         self.df_map = {
             r["term"]: r["df"] for r in self.term_stats.collect()
         }
+        # bounded response cache for the read endpoints (see _cached);
+        # cache_responses=False serves every request uncached (bench
+        # uses it so min-of-N latency measures the kernels, not hits)
+        self._cache_responses = cache_responses
+        self._response_cache: dict = {}
         self._open_segments()
         # optional query-independent authority table
         # (linkgraph.write_static_rank) enabling blended ranking; the
@@ -88,6 +94,82 @@ class SearchService:
         self._rank_n = 0
         self.reload_static_rank()
 
+    # -- response cache ------------------------------------------------------
+
+    _CACHE_MAX = 256
+
+    def _cached(self, key: tuple, compute):
+        """Serve repeated identical read requests from memory — the
+        front-tier result cache every production engine runs. ANY
+        index mutation clears it wholesale (`_open_segments`, which
+        index_page/delete_page funnel through; `refresh_positional`;
+        `reload_static_rank`) — correctness by invalidation, not by
+        TTL, so a request after a write always recomputes. Bounded
+        FIFO (oldest-inserted evicted at _CACHE_MAX); entries are
+        deep-copied in AND out so callers cannot mutate cached
+        state."""
+        import copy
+
+        if not self._cache_responses:
+            return compute()
+        hit = self._response_cache.get(key)
+        if hit is not None:
+            return copy.deepcopy(hit)
+        out = compute()
+        if len(self._response_cache) >= self._CACHE_MAX:
+            self._response_cache.pop(next(iter(self._response_cache)))
+        self._response_cache[key] = copy.deepcopy(out)
+        return out
+
+    # public read endpoints: thin caching wrappers over the *_uncached
+    # implementations below (same signatures, same docstrings apply)
+
+    def search(self, query: str, site: str | None = None, offset: int = 0,
+               limit: int = 20, snippets: bool = False, mode: str = "bm25",
+               conjunctive: bool = True, blend: float | None = None,
+               oversample: int = 4) -> dict:
+        return self._cached(
+            ("search", query, site, offset, limit, snippets, mode,
+             conjunctive, blend, oversample),
+            lambda: self._search_uncached(
+                query, site=site, offset=offset, limit=limit,
+                snippets=snippets, mode=mode, conjunctive=conjunctive,
+                blend=blend, oversample=oversample),
+        )
+
+    def phrase(self, query: str, limit: int = 20) -> dict:
+        return self._cached(
+            ("phrase", query, limit),
+            lambda: self._phrase_uncached(query, limit=limit),
+        )
+
+    def boolean(self, query: str, limit: int = 20,
+                site: str | None = None, offset: int = 0) -> dict:
+        return self._cached(
+            ("boolean", query, limit, site, offset),
+            lambda: self._boolean_uncached(
+                query, limit=limit, site=site, offset=offset),
+        )
+
+    def prefix(self, pfx: str, limit: int = 20,
+               max_expansions: int = 50) -> dict:
+        return self._cached(
+            ("prefix", pfx, limit, max_expansions),
+            lambda: self._prefix_uncached(
+                pfx, limit=limit, max_expansions=max_expansions),
+        )
+
+    def suggest(self, word: str, topn: int = 10) -> list[dict]:
+        return self._cached(
+            ("suggest", word, topn),
+            lambda: self._suggest_uncached(word, topn=topn),
+        )
+
+    def statistics(self) -> dict:
+        return self._cached(
+            ("statistics",), lambda: self._statistics_uncached()
+        )
+
     def reload_static_rank(self) -> None:
         """(Re-)read `<base>/staticrank`. Call after an offline rank
         rebuild (`linkgraph.build_static_rank` over the refreshed
@@ -96,6 +178,7 @@ class SearchService:
         new table immediately. Absent table → blend requests raise."""
         from .index.manifest import fs_exists
 
+        self._response_cache.clear()
         if self.static_rank is not None:
             self.static_rank.unpersist()
         self.static_rank = None
@@ -108,7 +191,7 @@ class SearchService:
 
     # -- /api/search ---------------------------------------------------------
 
-    def search(
+    def _search_uncached(
         self,
         query: str,
         site: str | None = None,
@@ -308,7 +391,7 @@ class SearchService:
 
     # -- /api/phrase (beyond-reference) --------------------------------------
 
-    def phrase(self, query: str, limit: int = 20) -> dict:
+    def _phrase_uncached(self, query: str, limit: int = 20) -> dict:
         """Exact-sequence ("quoted") retrieval over the positional
         packed runs (index/positional.py): {result, count, data:
         [{site, uri, url, doc_id, phrase_tf}]}, ranked (phrase_tf
@@ -369,7 +452,7 @@ class SearchService:
 
     # -- /api/boolean (beyond-reference) ---------------------------------------
 
-    def boolean(
+    def _boolean_uncached(
         self,
         query: str,
         limit: int = 20,
@@ -424,7 +507,7 @@ class SearchService:
 
     # -- /api/prefix (beyond-reference) ----------------------------------------
 
-    def prefix(self, pfx: str, limit: int = 20,
+    def _prefix_uncached(self, pfx: str, limit: int = 20,
                max_expansions: int = 50) -> dict:
         """Wildcard retrieval (``spar*``): bounded dictionary
         expansion ranked (df desc, term) then disjunctive block-max
@@ -467,7 +550,7 @@ class SearchService:
 
     # -- /api/suggest (beyond-reference) ---------------------------------------
 
-    def suggest(self, word: str, topn: int = 10) -> list[dict]:
+    def _suggest_uncached(self, word: str, topn: int = 10) -> list[dict]:
         """Did-you-mean: dictionary terms within edit distance 1 of
         ``word`` (operators/fuzzy.py SymSpell keys), ranked
         (df desc, term asc). Served from the open-time term_stats
@@ -485,6 +568,7 @@ class SearchService:
     def refresh_positional(self) -> None:
         """Rebuild the positional snapshot from docs_text (e.g. after
         index_page calls) and swap the cache."""
+        self._response_cache.clear()
         old = getattr(self, "pos_segments", None)
         if old is not None:
             old.unpersist()
@@ -527,7 +611,7 @@ class SearchService:
 
     # -- /api/statistics -----------------------------------------------------
 
-    def statistics(self) -> dict:
+    def _statistics_uncached(self) -> dict:
         """StatisticsResponse dict: corpus-wide totals + per-site page
         and lemma counts (StatisticsServiceImpl.java:29-78 — pages =
         countBySite, lemmas = per-site distinct lemma count)."""
@@ -658,6 +742,9 @@ class SearchService:
     # -- internals -----------------------------------------------------------
 
     def _open_segments(self) -> None:
+        # every index mutation funnels through here — drop cached
+        # responses before swapping the serving state
+        self._response_cache.clear()
         old = getattr(self, "segments", None)
         if old is not None:
             old.unpersist()

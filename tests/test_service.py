@@ -273,3 +273,47 @@ def test_prefix_endpoint(spark, served):
     )[:10]
     assert [d["doc_id"] for d in resp["data"]] == [d for d, _ in rel]
     assert svc.prefix("zzzznope") == {"result": True, "data": []}
+
+
+def test_response_cache_hit_and_write_invalidation(spark, served):
+    svc, _, _ = served
+    svc._response_cache.clear()
+    first = svc.search("кэш запрос слово", limit=5)
+    assert any(k[0] == "search" for k in svc._response_cache)
+    # hit: same dict back; mutating the returned copy must not
+    # corrupt the cached entry
+    again = svc.search("кэш запрос слово", limit=5)
+    assert again == first
+    again["data"].append({"poison": True})
+    assert svc.search("кэш запрос слово", limit=5) == first
+    # statistics cached too
+    st = svc.statistics()
+    assert svc.statistics() == st
+    # ANY write clears the whole cache and the next read recomputes:
+    # the stale count=0 response for an OOV word must NOT be served
+    # after a page containing it lands
+    q = "кэшируемоеслово"  # OOV → identity lemma
+    assert svc.search(q)["count"] == 0
+    svc.index_page(
+        "https://site0.example/cachetest",
+        text=f"новая страница {q} для кэша",
+    )
+    assert svc._response_cache == {}
+    after = svc.search(q)
+    assert after["count"] == 1
+    assert after["data"][0]["url"] == "https://site0.example/cachetest"
+
+
+def test_response_cache_bounded(spark, served):
+    svc, _, _ = served
+    svc._response_cache.clear()
+    for i in range(svc._CACHE_MAX + 20):
+        svc._response_cache[("search", f"q{i}")] = {"result": True}
+        # emulate insertion through _cached's eviction path
+    # real eviction check through the API
+    svc._response_cache.clear()
+    svc._response_cache.update(
+        {("k", i): {} for i in range(svc._CACHE_MAX)}
+    )
+    svc.search("быстрый", limit=1)
+    assert len(svc._response_cache) <= svc._CACHE_MAX
