@@ -58,7 +58,9 @@ def main() -> None:
         svc = SearchService(spark, args.index)
         t0 = time.time()
         resp = svc.search(args.query, site=args.site, offset=args.offset,
-                          limit=args.k, blend=args.blend)
+                          limit=args.k, blend=args.blend,
+                          mode=args.scoring,
+                          conjunctive=not args.disjunctive)
         dt = time.time() - t0
         for d in resp["data"]:
             print(d)

@@ -1192,8 +1192,10 @@ _REG["q_pagerank"] = (q_pagerank, _pagerank_oracle())
 #   blend_e4  = score_e4 + pr_rel_e4              — one BM25 point ≡ one
 #               uniform-mass multiple of authority (equal-weight blend)
 def _blend_sql() -> str:
+    from .operators.linkgraph import PR_SCALE
+
     nd = "(SELECT count(*)::BIGINT FROM documents)"
-    pr_rel = f"((p.rank * 10000) // (1000000000000 // {nd}))"
+    pr_rel = f"((p.rank * 10000) // ({PR_SCALE} // {nd}))"
     return (
         f"SELECT b.doc_id, b.score_e4, {pr_rel}::BIGINT AS pr_rel_e4,"
         f" (b.score_e4 + {pr_rel})::BIGINT AS blend_e4"

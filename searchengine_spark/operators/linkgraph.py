@@ -56,8 +56,15 @@ PR_D_NUM = 85
 PR_D_DEN = 100
 PR_SCALE = 10**12
 
+# ONE combined pattern matching well-formed anchor tags; href and
+# anchor text are then extracted from each matched tag string. Two
+# independent regexp_extract_all arrays (href-anywhere + anchor-tag)
+# would MISALIGN on real-world html — any href outside a well-formed
+# <a ...>text</a> (a <link href>, a nested-markup anchor) shifts every
+# subsequent pair, crediting anchor text to the wrong target.
+_A_TAG_RE = r'<a href="[^"]*"[^>]*>[^<]*</a>'
 _HREF_RE = r'href="([^"]+)"'
-_ANCHOR_RE = r'<a href="[^"]*"[^>]*>([^<]*)</a>'
+_ANCHOR_TEXT_RE = r">([^<]*)</a>"
 _SITE_RE = r"^(https?://[^/]+)"
 
 
@@ -69,29 +76,30 @@ def extract_links(
     Relative hrefs (``/path``) resolve against the source page's
     scheme+host; absolute http(s) hrefs pass through; anything else
     (mailto:, javascript:, fragment-only) is dropped. Self-links are
-    dropped. ``anchor`` is the tag's inner text (no nested tags in the
-    generated corpus; a production extractor would strip them).
+    dropped. ``anchor`` is the tag's inner text — only WELL-FORMED
+    ``<a href="...">text</a>`` tags match (no nested tags in the
+    generated corpus; a production extractor would strip them first),
+    and href/anchor come from the SAME matched tag string, so a stray
+    href elsewhere in the page can never shift the pairing.
 
-    Both captures run in one pass over the same utf-8 view of the
-    binary html column; arrays_zip keeps href[i] paired with its own
-    anchor[i]. Map-only — no shuffle, no Python.
+    One regexp pass over the utf-8 view of the binary html column +
+    two per-tag extracts. Map-only — no shuffle, no Python.
     """
     html = F.col(html_col).cast("string")
-    pairs = F.arrays_zip(
-        F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1)).alias("href"),
-        F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(1)).alias("anchor"),
-    )
+    tag = F.explode(
+        F.regexp_extract_all(html, F.lit(_A_TAG_RE), F.lit(0))
+    ).alias("tag")
     site = F.regexp_extract(F.col("src"), _SITE_RE, 1)
-    link = F.explode(pairs).alias("link")
-    href = F.col("link.href")
+    href = F.regexp_extract(F.col("tag"), _HREF_RE, 1)
+    anchor = F.regexp_extract(F.col("tag"), _ANCHOR_TEXT_RE, 1)
     dst = (
         F.when(href.startswith("http://") | href.startswith("https://"), href)
         .when(href.startswith("/"), F.concat(site, href))
         .otherwise(F.lit(None).cast("string"))
     )
     return (
-        docs.select(F.col(url_col).alias("src"), link)
-        .select("src", dst.alias("dst"), F.col("link.anchor").alias("anchor"))
+        docs.select(F.col(url_col).alias("src"), tag)
+        .select("src", dst.alias("dst"), anchor.alias("anchor"))
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
     )
 

@@ -129,8 +129,11 @@ class SearchService:
                conjunctive: bool = True, blend: float | None = None,
                oversample: int = 4) -> dict:
         return self._cached(
+            # oversample only affects blended requests — keep it out of
+            # the key otherwise so identical responses share one slot
             ("search", query, site, offset, limit, snippets, mode,
-             conjunctive, blend, oversample),
+             conjunctive, blend,
+             oversample if blend is not None else None),
             lambda: self._search_uncached(
                 query, site=site, offset=offset, limit=limit,
                 snippets=snippets, mode=mode, conjunctive=conjunctive,
@@ -188,6 +191,12 @@ class SearchService:
                 f"{self.base}/staticrank"
             ).cache()
             self._rank_n = self.static_rank.count()
+            if self._rank_n == 0:
+                # an empty table is as unservable as an absent one —
+                # treat it the same so blend raises the clear error
+                # instead of dividing by zero in _blend_hits
+                self.static_rank.unpersist()
+                self.static_rank = None
 
     # -- /api/search ---------------------------------------------------------
 

@@ -87,15 +87,16 @@ def _link_href(row_id: int, draw: int) -> str:
     BACKWARD to smaller row ids, which always exist in a dense
     0..n-1 corpus regardless of corpus size:
 
-      * same-site relative link ``/page{row_id - 8k}`` (site = id mod
-        8, so an 8-multiple stride stays on-site) — most links;
+      * same-site relative link ``/page{row_id - N_SITES*k}`` (site =
+        id mod N_SITES, so an N_SITES-multiple stride stays on-site)
+        — most links;
       * cross-site absolute link every 5th draw;
       * dead link ``/l{draw}`` when no smaller target exists (and for
         early rows) — real web graphs have unresolvable hrefs; the
         resolver drops them by anti-joining the corpus url set.
     """
     k = 1 + draw % 16
-    tgt = row_id - 8 * k
+    tgt = row_id - N_SITES * k
     if tgt < 0:
         return f"/l{draw}"
     if draw % 5 == 0:

@@ -307,13 +307,10 @@ def test_response_cache_hit_and_write_invalidation(spark, served):
 def test_response_cache_bounded(spark, served):
     svc, _, _ = served
     svc._response_cache.clear()
-    for i in range(svc._CACHE_MAX + 20):
-        svc._response_cache[("search", f"q{i}")] = {"result": True}
-        # emulate insertion through _cached's eviction path
-    # real eviction check through the API
-    svc._response_cache.clear()
     svc._response_cache.update(
         {("k", i): {} for i in range(svc._CACHE_MAX)}
     )
-    svc.search("быстрый", limit=1)
+    svc.search("быстрый", limit=1)  # insertion at capacity evicts oldest
     assert len(svc._response_cache) <= svc._CACHE_MAX
+    assert ("k", 0) not in svc._response_cache
+    svc._response_cache.clear()
