@@ -1339,6 +1339,89 @@ def _hits_oracle() -> str:
 _REG["q_hits"] = (q_hits, _hits_oracle())
 
 
+# -- more-like-this: document-similarity retrieval ----------------------------
+# Lucene MoreLikeThis shape (operators/mlt.py): the source doc's top-m
+# terms by tf·ln(n/df) (e4 fixed-point weight, term ASC tie-break)
+# become a disjunctive BM25 query with the source doc excluded. The
+# oracle replays BOTH stages — the same ORDER BY selects the same
+# terms, then the q_bm25_disjunctive scoring shape over them.
+_MLT_DOC = 7
+_MLT_M = 5
+_SQL_MLT = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl),
+sel AS (
+  SELECT t.term
+  FROM tf t JOIN dfx USING (term) CROSS JOIN stats
+  WHERE t.doc_id = {_MLT_DOC}
+  ORDER BY floor((t.tf * ln(n * 1.0 / df)) * 10000.0 + 0.5)::BIGINT DESC,
+           t.term ASC
+  LIMIT {_MLT_M}
+)
+SELECT t.doc_id,
+       floor(sum(
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         * tf * 2.2
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
+       ) * 10000.0 + 0.5)::BIGINT AS score_e4,
+       count(*)::BIGINT AS n_hit
+FROM tf t
+JOIN sel USING (term)
+JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+WHERE t.doc_id <> {_MLT_DOC}
+GROUP BY t.doc_id
+"""
+
+
+@_reg("q_more_like_this", _SQL_MLT)
+def q_more_like_this(spark, sf_dir):
+    from .operators.search import bm25_term_score
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    # stage 1: term selection — tf·idf e4 weight, deterministic order
+    w_sel = (
+        F.floor(
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))) * 10000.0
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    sel = (
+        tf.filter(F.col("doc_id") == _MLT_DOC)
+        .join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(stats))
+        .orderBy(w_sel.desc(), F.asc("term"))
+        .limit(_MLT_M)
+        .select("term")
+    )
+    # stage 2: disjunctive BM25 over the selected terms, source excluded
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    return (
+        tf.join(F.broadcast(sel), "term")
+        .filter(F.col("doc_id") != _MLT_DOC)
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w) * 10000.0 + F.lit(0.5)).cast("long")
+            .alias("score_e4"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+        .select("doc_id", "score_e4", "n_hit")
+    )
+
+
 # --- public API ---------------------------------------------------------------
 
 
@@ -1353,8 +1436,9 @@ _REG["q_hits"] = (q_hits, _hits_oracle())
 # (tests/test_entry_contract.py asserts the ordering is a permutation).
 _PRIORITY = [
     # NEW this round (r4: boolean AND/OR/NOT retrieval, prefix
-    # wildcard retrieval, SymSpell fuzzy suggestion) — must receive a
-    # correctness row
+    # wildcard retrieval, SymSpell fuzzy suggestion, more-like-this,
+    # link graph, anchor indexing) — must receive a correctness row
+    "q_more_like_this",
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
     "q_static_rank_blend", "q_anchor_bm25", "q_hits",
     # reworked this round (r4: rolling-hash dup spans, 60-bit line

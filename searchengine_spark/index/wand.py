@@ -901,6 +901,7 @@ def search_packed_fused(
     doc_stats: DataFrame | None = None,
     n_shards: int | None = None,
     excluded_doc_ids: list[int] | None = None,
+    lemmas: list[str] | None = None,
 ) -> tuple[list[tuple[int, float]], int]:
     """ONE kernel pass per shard serving BOTH the ranked page and the
     pre-pagination match count → ([(doc_id, score)] already
@@ -908,6 +909,11 @@ def search_packed_fused(
     server's hot path (service.search): the two-kernel formulation
     (match_count_packed + search_packed) decoded and intersected every
     posting list twice per request.
+
+    `lemmas`: pre-analyzed query lemmas — skips `lemmatize_query`
+    (callers whose terms are machine-selected lemmas already, e.g.
+    more-like-this, must not re-lemmatize them); F4 df-pruning via
+    `_resolve_terms` still applies.
 
     Plan shape: term-pruned segment scan → one applyInPandas kernel
     per shard → driver merge of ≤ n_shards·(offset+k+1) rows (the +1
@@ -922,7 +928,8 @@ def search_packed_fused(
         )
     if offset > MAX_OFFSET:
         raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
-    lemmas = lemmatize_query(query)
+    if lemmas is None:
+        lemmas = lemmatize_query(query)
     if not lemmas:
         return [], 0
     terms = _resolve_terms(term_stats, n_docs, lemmas, max_rel_freq, df_map)

@@ -168,6 +168,14 @@ class SearchService:
             lambda: self._suggest_uncached(word, topn=topn),
         )
 
+    def more_like_this(self, url: str, limit: int = 20,
+                       max_terms: int = 25) -> dict:
+        return self._cached(
+            ("mlt", url, limit, max_terms),
+            lambda: self._mlt_uncached(url, limit=limit,
+                                       max_terms=max_terms),
+        )
+
     def statistics(self) -> dict:
         return self._cached(
             ("statistics",), lambda: self._statistics_uncached()
@@ -486,8 +494,16 @@ class SearchService:
             offset=offset, doc_stats=self.serve_meta,
             n_shards=self.n_shards,
         )
+        return {"result": True, "count": count,
+                "data": self._meta_items(hits)}
+
+    def _meta_items(self, hits: list[tuple[int, float]]) -> list[dict]:
+        """(doc_id, score) winners → SearchItem dicts: broadcast the
+        ≤k winners into the distributed serving meta (url/title
+        resolve through doc-level last-wins incl. delta runs), rank
+        (score desc, doc_id asc)."""
         if not hits:
-            return {"result": True, "count": count, "data": []}
+            return []
         winners = self.spark.createDataFrame(
             [(int(d), float(s)) for d, s in hits],
             "doc_id long, score double",
@@ -512,7 +528,7 @@ class SearchService:
                     "relevance": r["score"],
                 }
             )
-        return {"result": True, "count": count, "data": data}
+        return data
 
     # -- /api/prefix (beyond-reference) ----------------------------------------
 
@@ -529,33 +545,10 @@ class SearchService:
             self.avgdl, pfx, k=limit, max_expansions=max_expansions,
             excluded_doc_ids=self.tombstoned,
         ).collect()
-        if not hits:
-            return {"result": True, "data": []}
-        winners = self.spark.createDataFrame(
-            [(int(r["doc_id"]), float(r["score"])) for r in hits],
-            "doc_id long, score double",
+        items = self._meta_items(
+            [(r["doc_id"], r["score"]) for r in hits]
         )
-        rows = (
-            self.serve_meta.select("doc_id", "url", "title")
-            .join(F.broadcast(winners), "doc_id")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .collect()
-        )
-        data = []
-        for r in rows:
-            url = r["url"]
-            slash = url.find("/", url.find("://") + 3)
-            data.append(
-                {
-                    "site": url[:slash] if slash != -1 else url,
-                    "uri": url[slash:] if slash != -1 else "/",
-                    "url": url,
-                    "doc_id": r["doc_id"],
-                    "title": r["title"],
-                    "relevance": r["score"],
-                }
-            )
-        return {"result": True, "data": data}
+        return {"result": True, "data": items}
 
     # -- /api/suggest (beyond-reference) ---------------------------------------
 
@@ -573,6 +566,61 @@ class SearchService:
                 self.term_stats, word, topn=topn
             ).collect()
         ]
+
+    # -- /api/moreLikeThis (beyond-reference) ----------------------------------
+
+    def _mlt_uncached(self, url: str, limit: int = 20,
+                      max_terms: int = 25) -> dict:
+        """Documents similar to ``url`` (operators/mlt.py): the page's
+        top tf·idf terms become a disjunctive BM25 query over the
+        packed index, the source doc excluded via the same deny-list
+        mechanism as tombstones. Response = the search() shape plus
+        ``terms`` (the machine-picked query — the engine's "why these
+        results" explanation). Needs docs_text at open (term selection
+        analyzes the source page's text). Unknown urls → result=False.
+
+        Scale: selection is driver-side over ONE doc's counts against
+        the warm df dictionary; retrieval is an ordinary ≤max_terms
+        WAND query — no corpus pass."""
+        from collections import Counter
+
+        from .functions import textproc
+        from .functions.urlnorm import canonical_url
+        from .operators.mlt import select_mlt_terms
+
+        if self.docs_text is None:
+            raise ValueError(
+                "more_like_this needs docs_text (doc_id, text) at open"
+            )
+        doc_id = int(
+            self.spark.createDataFrame([(url,)], "url string")
+            .select(F.xxhash64(canonical_url(F.col("url"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        if not self.serve_meta.filter(F.col("doc_id") == doc_id).count():
+            return {"result": False, "error": "url not in index"}
+        rows = (
+            self.docs_text.filter(F.col("doc_id") == doc_id)
+            .select("text").collect()
+        )
+        if not rows or rows[0]["text"] is None:
+            return {"result": False, "error": "document text unavailable"}
+        counts = Counter(textproc.tokenize_lemmatize(rows[0]["text"]))
+        terms = select_mlt_terms(
+            dict(counts), self.df_map, self.n_docs, max_terms
+        )
+        if not terms:
+            return {"result": True, "count": 0, "terms": [], "data": []}
+        excluded = list(self.tombstoned or []) + [doc_id]
+        hits, count = search_packed_fused(
+            self.spark, self.segments, self.term_stats, self.n_docs,
+            self.avgdl, query=" ".join(terms), lemmas=terms, k=limit,
+            conjunctive=False, df_map=self.df_map,
+            doc_stats=self.serve_meta, n_shards=self.n_shards,
+            excluded_doc_ids=excluded,
+        )
+        return {"result": True, "count": count, "terms": terms,
+                "data": self._meta_items(hits)}
 
     def refresh_positional(self) -> None:
         """Rebuild the positional snapshot from docs_text (e.g. after
