@@ -1422,6 +1422,80 @@ def q_more_like_this(spark, sf_dir):
     )
 
 
+# -- corrected search: did-you-mean fuzzy resolution + retrieval -------------
+# The correction rule kernel behind SearchService.search(correct=True):
+# each query word resolves to its BEST edit-distance-1 dictionary term
+# (df DESC, term ASC — the q_fuzzy_suggest rule, engine-side via
+# SymSpell delete-1 keys, oracle via full-scan levenshtein; equal
+# because delete-1 keys are complete for distance <= 1), then
+# disjunctive BM25 over the resolved term set. Both query words here
+# are misspellings ('sparc'→, 'joib'→) so the fuzzy stage is always
+# load-bearing.
+_CORR_WORDS = ("sparc", "joib")
+_SQL_CORRECTED = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl),
+qt AS (
+  SELECT DISTINCT term FROM (
+    (SELECT term FROM dfx WHERE levenshtein(term, '{_CORR_WORDS[0]}') <= 1
+     ORDER BY df DESC, term LIMIT 1)
+    UNION ALL
+    (SELECT term FROM dfx WHERE levenshtein(term, '{_CORR_WORDS[1]}') <= 1
+     ORDER BY df DESC, term LIMIT 1)
+  )
+)
+SELECT t.doc_id,
+       floor(sum(
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+         * tf * 2.2
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
+       ) * 10000.0 + 0.5)::BIGINT AS score_e4,
+       count(*)::BIGINT AS n_hit
+FROM tf t
+JOIN qt USING (term)
+JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+GROUP BY t.doc_id
+"""
+
+
+@_reg("q_corrected_search", _SQL_CORRECTED)
+def q_corrected_search(spark, sf_dir):
+    from .operators.fuzzy import suggest_terms
+    from .operators.search import bm25_term_score
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    qt = None
+    for word in _CORR_WORDS:
+        best = suggest_terms(dfx, word, topn=1).select("term")
+        qt = best if qt is None else qt.union(best)
+    qt = qt.distinct()
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    return (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w) * 10000.0 + F.lit(0.5)).cast("long")
+            .alias("score_e4"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+        .select("doc_id", "score_e4", "n_hit")
+    )
+
+
 # --- public API ---------------------------------------------------------------
 
 
@@ -1438,7 +1512,7 @@ _PRIORITY = [
     # NEW this round (r4: boolean AND/OR/NOT retrieval, prefix
     # wildcard retrieval, SymSpell fuzzy suggestion, more-like-this,
     # link graph, anchor indexing) — must receive a correctness row
-    "q_more_like_this",
+    "q_more_like_this", "q_corrected_search",
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
     "q_static_rank_blend", "q_anchor_bm25", "q_hits",
     # reworked this round (r4: rolling-hash dup spans, 60-bit line

@@ -127,17 +127,17 @@ class SearchService:
     def search(self, query: str, site: str | None = None, offset: int = 0,
                limit: int = 20, snippets: bool = False, mode: str = "bm25",
                conjunctive: bool = True, blend: float | None = None,
-               oversample: int = 4) -> dict:
+               oversample: int = 4, correct: bool = False) -> dict:
         return self._cached(
             # oversample only affects blended requests — keep it out of
             # the key otherwise so identical responses share one slot
             ("search", query, site, offset, limit, snippets, mode,
              conjunctive, blend,
-             oversample if blend is not None else None),
+             oversample if blend is not None else None, correct),
             lambda: self._search_uncached(
                 query, site=site, offset=offset, limit=limit,
                 snippets=snippets, mode=mode, conjunctive=conjunctive,
-                blend=blend, oversample=oversample),
+                blend=blend, oversample=oversample, correct=correct),
         )
 
     def phrase(self, query: str, limit: int = 20) -> dict:
@@ -219,6 +219,7 @@ class SearchService:
         conjunctive: bool = True,
         blend: float | None = None,
         oversample: int = 4,
+        correct: bool = False,
     ) -> dict:
         """SearchResponse dict: {result, count, data:[{site, uri, url,
         doc_id, title, relevance[, snippet]}]}. `count` is the
@@ -235,15 +236,32 @@ class SearchService:
         PageRank relative to uniform mass — see `_blend_hits`) over an
         oversampled BM25 candidate set of `oversample·(offset+limit)`
         docs: classic two-stage retrieve-then-rerank. Items then carry
-        `bm25` and `authority` alongside the blended `relevance`."""
+        `bm25` and `authority` alongside the blended `relevance`.
+
+        `correct=True` (did-you-mean, beyond-reference): query lemmas
+        ABSENT from the dictionary — which the reference silently
+        drops (ApiService.java:121-126) — are replaced by their best
+        edit-distance-1 dictionary term (operators/fuzzy.py SymSpell
+        rule: df desc, term asc). Known lemmas are never touched; a
+        lemma with no candidate drops as before. Applied corrections
+        come back as response["corrected"] = {typed: served}, and
+        snippets highlight the corrected terms. The contract analog
+        (full DuckDB oracle of correction + retrieval) is
+        contract.q_corrected_search."""
         if snippets and self.docs_text is None:
             raise ValueError(
                 "snippets need docs_text (doc_id, text) at open"
             )
+        from .operators.search import lemmatize_query
+
+        q_lemmas = lemmatize_query(query)
+        corrections: dict[str, str] = {}
+        if correct:
+            q_lemmas, corrections = self._correct_lemmas(q_lemmas)
         k_fetch = limit if blend is None else oversample * (offset + limit)
         hits, count = search_packed_fused(
             self.spark, self.segments, self.term_stats, self.n_docs,
-            self.avgdl, query, k=k_fetch,
+            self.avgdl, query, lemmas=q_lemmas, k=k_fetch,
             offset=offset if blend is None else 0, site=site,
             mode=mode, conjunctive=conjunctive, df_map=self.df_map,
             doc_stats=self.serve_meta, n_shards=self.n_shards,
@@ -255,18 +273,18 @@ class SearchService:
             hits = [(d, b) for d, b, _, _ in reranked]
             parts = {d: (s, a) for d, _, s, a in reranked}
         if not hits:
-            return {"result": True, "count": count, "data": []}
+            out = {"result": True, "count": count, "data": []}
+            if corrections:
+                out["corrected"] = corrections
+            return out
         winners = self.spark.createDataFrame(
             [(int(d), float(s)) for d, s in hits],
             "doc_id long, score double",
         )
         if snippets:
             from .functions.udfs import snippet_udf
-            from .operators.search import lemmatize_query
 
-            snip = snippet_udf(
-                lemmatize_query(query), 3, mode=self.snippet_mode
-            )
+            snip = snippet_udf(q_lemmas, 3, mode=self.snippet_mode)
             winners = (
                 self.docs_text.select("doc_id", "text")
                 .join(F.broadcast(winners), "doc_id")
@@ -295,7 +313,34 @@ class SearchService:
             if parts is not None:
                 item["bm25"], item["authority"] = parts[r["doc_id"]]
             data.append(item)
-        return {"result": True, "count": count, "data": data}
+        out = {"result": True, "count": count, "data": data}
+        if corrections:
+            out["corrected"] = corrections
+        return out
+
+    def _correct_lemmas(
+        self, lemmas: list[str]
+    ) -> tuple[list[str], dict[str, str]]:
+        """Replace dictionary-absent lemmas by their best
+        edit-distance-1 term (SymSpell keyed lookup, ranked df desc /
+        term asc — operators/fuzzy.py); known lemmas pass through
+        untouched, uncorrectable ones drop (the reference's silent
+        unknown-lemma behavior). Order-preserving dedup keeps the
+        query's term-set semantics when a correction lands on an
+        already-present term."""
+        from .operators.fuzzy import suggest_terms
+
+        fixed: dict[str, None] = {}
+        corrections: dict[str, str] = {}
+        for t in lemmas:
+            if t in self.df_map:
+                fixed.setdefault(t)
+                continue
+            best = suggest_terms(self.term_stats, t, topn=1).collect()
+            if best:
+                corrections[t] = best[0]["term"]
+                fixed.setdefault(best[0]["term"])
+        return list(fixed), corrections
 
     def _blend_hits(
         self, hits: list, w: float

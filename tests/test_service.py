@@ -257,6 +257,41 @@ def test_suggest_endpoint(spark, served):
         assert g["df"] == dfs[g["term"]]
 
 
+def test_search_corrected(spark, served):
+    """search(correct=True): dictionary-absent lemmas resolve through
+    the SymSpell rule; known lemmas are untouched; correct=False keeps
+    the reference's silent-drop semantics."""
+    svc, idx, constants = served
+    # the misspelling drops silently without correction (zero terms)
+    plain = svc.search("поискк", limit=10)
+    assert plain["count"] == 0 and plain["data"] == []
+    assert "corrected" not in plain
+
+    corr = svc.search("поискк", limit=10, correct=True)
+    assert corr["corrected"]["поискк"] == "поиск"
+    want = svc.search("поиск", limit=10)
+    assert corr["count"] == want["count"] > 0
+    assert [d["doc_id"] for d in corr["data"]] == [
+        d["doc_id"] for d in want["data"]
+    ]
+
+    # mixed query: the known lemma passes through, only the typo maps
+    mixed = svc.search("быстрый поискк", limit=10, correct=True)
+    ref = svc.search("быстрый поиск", limit=10)
+    assert mixed["corrected"] == {"поискк": "поиск"}
+    assert mixed["count"] == ref["count"]
+    assert [d["doc_id"] for d in mixed["data"]] == [
+        d["doc_id"] for d in ref["data"]
+    ]
+
+    # a fully-known query never gets a corrected field
+    clean = svc.search("быстрый поиск", limit=10, correct=True)
+    assert "corrected" not in clean
+    assert [d["doc_id"] for d in clean["data"]] == [
+        d["doc_id"] for d in ref["data"]
+    ]
+
+
 def test_prefix_endpoint(spark, served):
     svc, idx, constants = served
     from searchengine_spark.operators.prefix import prefix_search
