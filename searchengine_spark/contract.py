@@ -1496,6 +1496,103 @@ def q_corrected_search(spark, sf_dir):
     )
 
 
+# -- BM25F: field-weighted ranking (title + body) -----------------------------
+# Robertson & Zaragoza 2004 (operators/fielded.py): per-field length
+# normalization BEFORE saturation — tf~ = Σ_f w_f·tf_f/(1-b_f+b_f·len_f/avg_f),
+# score = idf·tf~·(1+k1)/(k1+tf~). The title field here is the doc's
+# first 3 tokens (the same derived-field convention as the anchor
+# entry; the production path extracts <title> from html). Weights:
+# title w=2.0 b=0.5, body w=1.0 b=0.75.
+_SQL_BM25F = f"""
+WITH {_SQL_TOK},
+ttok AS (
+  SELECT doc_id, unnest(list_slice(list_filter(string_split(text, ' '),
+         x -> x <> ''), 1, 3)) AS term
+  FROM documents
+),
+ttf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM ttok GROUP BY doc_id, term
+),
+blen AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok2 GROUP BY doc_id),
+tlen AS (SELECT doc_id, count(*)::BIGINT AS len FROM ttok GROUP BY doc_id),
+prs AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, term FROM ttf UNION ALL SELECT doc_id, term FROM tf
+  )
+),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM prs GROUP BY term),
+stats AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS n FROM (
+    SELECT doc_id FROM tlen UNION ALL SELECT doc_id FROM blen
+  )
+),
+avgs AS (
+  SELECT (SELECT avg(len) FROM tlen) AS avg_t,
+         (SELECT avg(len) FROM blen) AS avg_b
+),
+j AS (
+  SELECT doc_id, term, coalesce(t.tf, 0) AS tf_t, coalesce(b.tf, 0) AS tf_b
+  FROM (SELECT doc_id, term, tf FROM ttf WHERE term IN {QT_SQL}) t
+  FULL JOIN (SELECT doc_id, term, tf FROM tf WHERE term IN {QT_SQL}) b
+  USING (doc_id, term)
+)
+SELECT j.doc_id,
+  floor(sum(
+    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+    * ((tf_t * 2.0) / (1.0 - 0.5 + 0.5 * coalesce(tl.len, 0) / avg_t)
+       + (tf_b * 1.0) / (1.0 - 0.75 + 0.75 * coalesce(bl.len, 0) / avg_b))
+    * 2.2
+    / (1.2 + ((tf_t * 2.0) / (1.0 - 0.5 + 0.5 * coalesce(tl.len, 0) / avg_t)
+              + (tf_b * 1.0)
+                / (1.0 - 0.75 + 0.75 * coalesce(bl.len, 0) / avg_b)))
+  ) * 10000.0 + 0.5)::BIGINT AS score_e4,
+  count(*)::BIGINT AS n_hit
+FROM j
+LEFT JOIN tlen tl USING (doc_id)
+LEFT JOIN blen bl USING (doc_id)
+JOIN dfx USING (term)
+CROSS JOIN stats CROSS JOIN avgs
+GROUP BY j.doc_id
+"""
+
+
+@_reg("q_bm25f_title", _SQL_BM25F)
+def q_bm25f_title(spark, sf_dir):
+    from .operators.fielded import bm25f_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    terms_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    title_tok = docs.select(
+        "doc_id", F.explode(F.slice(terms_arr, 1, 3)).alias("term")
+    )
+    fields_tf = {
+        "title": title_tok.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        ),
+        "body": _tf(docs),
+    }
+    fields_len = {
+        "title": title_tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("len")
+        ),
+        "body": _tokens(docs).groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("len")
+        ),
+    }
+    out = bm25f_scores(
+        fields_tf, fields_len,
+        weights={"title": 2.0, "body": 1.0},
+        bs={"title": 0.5, "body": 0.75},
+        query_terms=QT,
+    )
+    return out.select(
+        "doc_id",
+        F.floor(F.col("score") * 10000.0 + F.lit(0.5)).cast("long")
+        .alias("score_e4"),
+        "n_hit",
+    )
+
+
 # --- public API ---------------------------------------------------------------
 
 
@@ -1512,7 +1609,7 @@ _PRIORITY = [
     # NEW this round (r4: boolean AND/OR/NOT retrieval, prefix
     # wildcard retrieval, SymSpell fuzzy suggestion, more-like-this,
     # link graph, anchor indexing) — must receive a correctness row
-    "q_more_like_this", "q_corrected_search",
+    "q_more_like_this", "q_corrected_search", "q_bm25f_title",
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
     "q_static_rank_blend", "q_anchor_bm25", "q_hits",
     # reworked this round (r4: rolling-hash dup spans, 60-bit line
