@@ -306,6 +306,83 @@ def q_bm25_site_filtered(spark, sf_dir):
     )
 
 
+# -- per-site result diversification ("host collapsing", beyond-reference:
+#    the omitted-similar-results semantics / Lucene grouping analog). Rank
+#    disjunctive BM25 (e4 fixed point so cap tie-breaks agree bit-for-bit),
+#    keep at most 2 hits per source in rank order, top 20 of the survivors.
+#    Production form: operators.search.search_collapsed (relational window)
+#    and index.wand search_packed(collapse_n=…) (collapse-aware WAND kernel,
+#    per-task memory bounded by k·n — packed ≡ relational pinned by
+#    tests/test_collapse.py). -------------------------------------------------
+_SQL_COLLAPSED = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl),
+sc AS (
+  SELECT t.doc_id,
+         floor(sum(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * tf * 2.2
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
+         ) * 10000.0 + 0.5)::BIGINT AS score_e4
+  FROM tf t
+  JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+  WHERE term IN {QT_SQL}
+  GROUP BY t.doc_id
+),
+capped AS (
+  SELECT s.doc_id, s.score_e4, d.source,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s.score_e4 DESC, s.doc_id
+         ) AS site_rank
+  FROM sc s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score_e4, source
+FROM capped WHERE site_rank <= 2
+ORDER BY score_e4 DESC, doc_id LIMIT 20
+"""
+
+
+@_reg("q_search_collapsed", _SQL_COLLAPSED)
+def q_search_collapsed(spark, sf_dir):
+    from .operators.search import bm25_term_score
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    sc = (
+        tf.filter(F.col("term").isin(QT))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx.filter(F.col("term").isin(QT))), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w) * 10000.0 + F.lit(0.5)).cast("long")
+            .alias("score_e4"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("score_e4"), F.asc("doc_id")
+    )
+    return (
+        sc.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("site_rank", F.row_number().over(win))
+        .filter(F.col("site_rank") <= 2)
+        .orderBy(F.desc("score_e4"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "score_e4", "source")
+    )
+
+
 # -- boolean retrieval: explicit AND/OR/NOT over postings (beyond the
 #    reference's implicit-AND, ApiService.java:127-139); scored over the
 #    POSITIVE terms only, NOT branches restrict the match set -----------------
@@ -1609,6 +1686,7 @@ _PRIORITY = [
     # NEW this round (r4: boolean AND/OR/NOT retrieval, prefix
     # wildcard retrieval, SymSpell fuzzy suggestion, more-like-this,
     # link graph, anchor indexing) — must receive a correctness row
+    "q_search_collapsed",
     "q_more_like_this", "q_corrected_search", "q_bm25f_title",
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
     "q_static_rank_blend", "q_anchor_bm25", "q_hits",

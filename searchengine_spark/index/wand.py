@@ -51,6 +51,9 @@ from . import varbyte as vb
 from .segments import BLOCK, bm25_scores_np, unpack_segment
 
 TOPK_OUT_SCHEMA = "doc_id long, score double, n_hit int"
+# collapse (per-site diversification) variants carry each kept row's
+# site id so the global merge can re-apply the cap without a lookup
+COLLAPSE_TOPK_SCHEMA = TOPK_OUT_SCHEMA + ", site_id long"
 
 
 class _TermList:
@@ -257,9 +260,42 @@ def _setdiff_sorted(cand: np.ndarray, excluded: np.ndarray) -> np.ndarray:
 SEED_BLOCKS = 4  # max blocks decoded to seed θ (bounded seed cost)
 
 
+def _site_of(ids: np.ndarray, map_ids: np.ndarray,
+             map_sites: np.ndarray) -> np.ndarray:
+    """site_id per doc id via the shard's sorted doc→site map. Docs
+    absent from the map (shouldn't happen — the map derives from the
+    serving meta — but deterministic anyway) fall back to their own
+    doc_id: a singleton site that can never be collapsed away."""
+    out = ids.copy()
+    if len(map_ids) and len(ids):
+        pos = np.searchsorted(map_ids, ids)
+        pos_c = np.minimum(pos, len(map_ids) - 1)
+        hit = (pos < len(map_ids)) & (map_ids[pos_c] == ids)
+        out[hit] = map_sites[pos_c[hit]]
+    return out
+
+
+def _site_cap_mask(sites: np.ndarray, n: int) -> np.ndarray:
+    """Boolean keep-mask implementing a per-site cap of `n` over rows
+    ALREADY in rank order: row i is kept iff fewer than n earlier rows
+    share its site. Vectorized occurrence-index computation (stable
+    sort by site preserves the rank order within each site group)."""
+    m = len(sites)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    by_site = np.argsort(sites, kind="stable")
+    s = sites[by_site]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    occ = np.arange(m) - np.repeat(starts, np.diff(np.r_[starts, m]))
+    keep = np.empty(m, dtype=bool)
+    keep[by_site] = occ < n
+    return keep
+
+
 def _theta_seed(
     shortest: _TermList, k: int, allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
+    collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
 ) -> float:
     """k-th best exact score among the ≤SEED_BLOCKS highest-upper-bound
     blocks of the shortest list — a valid lower bound on the final
@@ -279,7 +315,21 @@ def _theta_seed(
     With a doc filter (site allow-list or tombstone deny-list), only
     SERVABLE docs may seed θ: a filtered-out doc's score is NOT a
     lower bound on any final result, and an inflated θ would unsoundly
-    prune."""
+    prune.
+
+    With `collapse` = (n, map_ids, map_sites) — per-site result
+    diversification — the seed must be collapse-aware: the sample is
+    per-site capped at n (ranked by single-term score) BEFORE the k-th
+    selection. Soundness: suppose the capped sample's k-th best
+    single-term score θ exceeded total(d) for some doc d in the
+    post-collapse top-k (by totals). The sample then holds k docs,
+    ≤ n per site, each with TOTAL ≥ its single-term score ≥ θ >
+    total(d); for every site s contributing c_s of them, s's true
+    top-c_s survivors (c_s ≤ n) all have totals > total(d) — so ≥ Σc_s
+    = k collapse-surviving docs outrank d, contradicting d ∈ top-k.
+    An uncapped sample would NOT be sound: k same-site docs can seed a
+    θ above every other site's best, pruning docs the collapsed
+    result must contain."""
     if k <= 0:
         return 0.0
     if allowed is None and excluded is None and shortest.n <= k:
@@ -287,7 +337,7 @@ def _theta_seed(
     nb = len(shortest.block_last)
     if nb == 0:
         return 0.0
-    pool = []
+    pool_ids, pool_scores = [], []
     for b in np.argsort(-shortest.block_max)[:SEED_BLOCKS]:
         ids, scores = shortest.block_scores(int(b))
         if allowed is not None:
@@ -295,9 +345,16 @@ def _theta_seed(
             ids, scores = ids[ok], scores[ok]
         if excluded is not None and len(ids):
             keep = ~_member_mask(ids, excluded)
-            scores = scores[keep]
-        pool.append(scores)
-    scores = np.concatenate(pool) if pool else np.empty(0)
+            ids, scores = ids[keep], scores[keep]
+        pool_ids.append(ids)
+        pool_scores.append(scores)
+    scores = np.concatenate(pool_scores) if pool_scores else np.empty(0)
+    if collapse is not None and len(scores):
+        n_cap, map_ids, map_sites = collapse
+        ids = np.concatenate(pool_ids)
+        order = np.lexsort((ids, -scores))
+        sites = _site_of(ids[order], map_ids, map_sites)
+        scores = scores[order][_site_cap_mask(sites, n_cap)]
     if len(scores) <= k:
         return 0.0
     return float(np.partition(scores, -k)[-k])
@@ -454,15 +511,81 @@ def _empty_topk(k: int) -> pd.DataFrame:
     )
 
 
+def _collapse_frame(
+    cand: np.ndarray, scores: np.ndarray, n_hit: np.ndarray,
+    collapse: tuple[int, np.ndarray, np.ndarray], k: int,
+) -> pd.DataFrame:
+    """Shard-local per-site collapse, then top-(k·n): rank all scored
+    candidates (score desc, doc_id asc), keep at most n per site, cut
+    to k·n rows, and RETURN each row's site_id so the global merge can
+    re-apply the cap without a lookup.
+
+    Why k·n rows is enough for an EXACT global collapse: take doc d in
+    the global post-collapse top-k. (a) d survives the shard-local cap
+    — the same-site docs above d in this shard are a subset of those
+    above it globally (< n). (b) d sits within the shard's first k·n
+    post-cap rows: every site with any doc above d (here or anywhere —
+    scores are global) has its global best above d too, and a site's
+    best always survives collapse, so < k sites have docs above d;
+    shard-capped at n each, < (k-1)·n capped rows precede d. The
+    driver merge then re-ranks ≤ shards·k·n rows and re-applies the
+    cap globally — exact, with per-task and driver memory both
+    bounded (k·n, not corpus- or site-sized)."""
+    n_cap = collapse[0]
+    order = np.lexsort((cand, -scores))
+    cand, scores, n_hit = cand[order], scores[order], n_hit[order]
+    sites = _site_of(cand, collapse[1], collapse[2])
+    keep = _site_cap_mask(sites, n_cap)
+    cut = min(int(keep.sum()), k * n_cap)
+    sel = np.flatnonzero(keep)[:cut]
+    return pd.DataFrame(
+        {"doc_id": cand[sel].astype(np.int64), "score": scores[sel],
+         "n_hit": n_hit[sel].astype(np.int32),
+         "site_id": sites[sel].astype(np.int64)}
+    )
+
+
+def _finalize(
+    cand: np.ndarray, scores: np.ndarray, n_hit: np.ndarray, k: int,
+    collapse: tuple[int, np.ndarray, np.ndarray] | None,
+) -> pd.DataFrame:
+    """Shared kernel exit: plain top-k, or collapse-aware top-(k·n)
+    with site ids (schema differs — call sites pass the matching
+    applyInPandas schema)."""
+    if collapse is None:
+        return _topk_frame(cand, scores, n_hit, k)
+    return _collapse_frame(cand, scores, n_hit, collapse, k)
+
+
+def _empty_finalize(
+    k: int, collapse: tuple[int, np.ndarray, np.ndarray] | None
+) -> pd.DataFrame:
+    return _finalize(
+        np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64), k,
+        collapse,
+    )
+
+
 def wand_shard_topk(
     pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int, conjunctive: bool,
     n_terms: int, mode: str = "bm25", allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
+    collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """One shard's segments (all query terms) → shard-local top-k.
     mode="legacy" scores sum(tf)/max(tf) (reference A3) — block-max
     pruning is disabled there (the block annotations bound BM25, not
     tf ratios); candidates are scored exhaustively.
+
+    `collapse` = (n, map_ids, map_sites): per-site result
+    diversification (host collapsing — at most n results per site,
+    the Lucene grouping / search-engine "omitted similar results"
+    semantics). map_ids/map_sites are THIS shard's doc→site_id map
+    (sorted by doc id), cogrouped in by doc-space shard exactly like
+    the site filter's member list. The kernel then returns the
+    post-cap top-(k·n) rows WITH site ids (see _collapse_frame for
+    the exactness argument) and θ is seeded collapse-aware (see
+    _theta_seed). Output schema switches to COLLAPSE_TOPK_SCHEMA.
 
     `allowed` (sorted unique int64, or None): doc-level filter — this
     shard's members of the site being searched (reference site filter,
@@ -477,18 +600,18 @@ def wand_shard_topk(
     a rebuild). Subtracted from candidates before scoring; θ may only
     be seeded by servable docs (see _theta_seed)."""
     if allowed is not None and len(allowed) == 0:
-        return _empty_topk(k)
+        return _empty_finalize(k, collapse)
     lists = [
         _TermList(rows, n_docs, avgdl, mode)
         for _, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
-        return _empty_topk(k)
+        return _empty_finalize(k, collapse)
 
     if conjunctive and len(lists) < n_terms:
         # a query term has no postings in this shard ⇒ no doc here
         # can match all terms (shards partition the doc space)
-        return _empty_topk(k)
+        return _empty_finalize(k, collapse)
     # single-term bm25: AND ≡ OR, so take the block-max-pruned path
     # below instead of the intersection cascade's full driving-list
     # decode — θ-seed + block bounds skip provably non-competitive
@@ -509,7 +632,7 @@ def wand_shard_topk(
             _, present = t.lookup(cand)
             cand = cand[present]
         if len(cand) == 0:
-            return _empty_topk(k)
+            return _empty_finalize(k, collapse)
         scores = np.zeros(len(cand), dtype=np.float64)
         maxs = np.zeros(len(cand), dtype=np.float64)
         for t in lists:
@@ -519,25 +642,26 @@ def wand_shard_topk(
         if mode == "legacy":
             scores = scores / maxs  # sum(rank)/max(rank), A3
         n_hit = np.full(len(cand), len(lists), dtype=np.int64)
-        return _topk_frame(cand, scores, n_hit, k)
+        return _finalize(cand, scores, n_hit, k, collapse)
 
     # disjunctive: essential-list cut + aligned block-max pruning
     # (_disjunctive_candidates), then exact scoring of survivors
     # (legacy mode: no sound block bound for sum/max → no pruning)
     shortest = min(lists, key=lambda t: t.n)
+    k_seed = k if collapse is None else k * collapse[0]
     theta = (
-        _theta_seed(shortest, k, allowed, excluded)
+        _theta_seed(shortest, k_seed, allowed, excluded, collapse)
         if mode == "bm25" else 0.0
     )
     cand = _disjunctive_candidates(lists, theta)
     if len(cand) == 0:
-        return _empty_topk(k)
+        return _empty_finalize(k, collapse)
     if allowed is not None:
         cand = _intersect_sorted(cand, allowed)
     if excluded is not None:
         cand = _setdiff_sorted(cand, excluded)
     if len(cand) == 0:
-        return _empty_topk(k)
+        return _empty_finalize(k, collapse)
     scores = np.zeros(len(cand), dtype=np.float64)
     maxs = np.zeros(len(cand), dtype=np.float64)
     n_hit = np.zeros(len(cand), dtype=np.int64)
@@ -549,10 +673,11 @@ def wand_shard_topk(
     if mode == "legacy":
         scores = np.divide(scores, maxs, out=np.zeros_like(scores),
                            where=maxs > 0)
-    return _topk_frame(cand, scores, n_hit, k)
+    return _finalize(cand, scores, n_hit, k, collapse)
 
 
 FUSED_OUT_SCHEMA = "doc_id long, score double, n_hit int, n_matched long"
+FUSED_COLLAPSE_SCHEMA = FUSED_OUT_SCHEMA + ", site_id long"
 
 
 def wand_shard_topk_count(
@@ -560,6 +685,7 @@ def wand_shard_topk_count(
     conjunctive: bool, n_terms: int, mode: str = "bm25",
     allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
+    collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """wand_shard_topk PLUS the shard's pre-top-k match count in the
     SAME pass (the reference response carries both the ranked page and
@@ -568,6 +694,13 @@ def wand_shard_topk_count(
     the shard top-k rows (n_matched=0) plus ONE sentinel row
     (n_hit=-1, n_matched=shard match count — n_hit is ≥1 on every
     real hit, so -1 is unambiguous).
+
+    `collapse`: per-site diversification, same contract as
+    wand_shard_topk — rows become the post-cap top-(k·n) with site
+    ids (FUSED_COLLAPSE_SCHEMA). The match count stays UNCOLLAPSED
+    (the pre-diversification total, the "about N results" number —
+    an exact post-collapse count would need per-site match counts
+    from every shard, an unbounded result set by design).
 
     Multi-term disjunctive counting needs the full posting union, so
     block-max pruning buys nothing there: survivors are scored
@@ -582,27 +715,29 @@ def wand_shard_topk_count(
     def with_count(frame: pd.DataFrame, n: int) -> pd.DataFrame:
         frame = frame.copy()
         frame["n_matched"] = np.int64(0)
-        sent = pd.DataFrame(
-            {
-                "doc_id": np.array([0], np.int64),
-                "score": np.array([0.0]),
-                "n_hit": np.array([-1], np.int32),
-                "n_matched": np.array([n], np.int64),
-            }
+        sent = {
+            "doc_id": np.array([0], np.int64),
+            "score": np.array([0.0]),
+            "n_hit": np.array([-1], np.int32),
+            "n_matched": np.array([n], np.int64),
+        }
+        if collapse is not None:
+            sent["site_id"] = np.array([0], np.int64)
+        return pd.concat(
+            [frame, pd.DataFrame(sent)], ignore_index=True
         )
-        return pd.concat([frame, sent], ignore_index=True)
 
     if allowed is not None and len(allowed) == 0:
-        return with_count(_empty_topk(k), 0)
+        return with_count(_empty_finalize(k, collapse), 0)
     lists = [
         _TermList(rows, n_docs, avgdl, mode)
         for _, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
-        return with_count(_empty_topk(k), 0)
+        return with_count(_empty_finalize(k, collapse), 0)
 
     if conjunctive and len(lists) < n_terms:
-        return with_count(_empty_topk(k), 0)
+        return with_count(_empty_finalize(k, collapse), 0)
     # single-list bm25 (single-term query, or a disjunction with one
     # term present here): the match count needs NO full decode — it's
     # the list length adjusted by filter lookups (which decode only
@@ -625,7 +760,8 @@ def wand_shard_topk_count(
             n_match = t.n - int(present.sum())
         else:
             n_match = t.n
-        theta = _theta_seed(t, k, allowed, excluded)
+        k_seed = k if collapse is None else k * collapse[0]
+        theta = _theta_seed(t, k_seed, allowed, excluded, collapse)
         cand = _disjunctive_candidates([t], theta)
         if allowed is not None:
             cand = _intersect_sorted(cand, allowed)
@@ -633,7 +769,8 @@ def wand_shard_topk_count(
             cand = _setdiff_sorted(cand, excluded)
         scores, present = t.lookup(cand)
         return with_count(
-            _topk_frame(cand, scores, present.astype(np.int64), k), n_match
+            _finalize(cand, scores, present.astype(np.int64), k, collapse),
+            n_match,
         )
 
     if conjunctive:
@@ -649,7 +786,7 @@ def wand_shard_topk_count(
             _, present = t.lookup(cand)
             cand = cand[present]
         if len(cand) == 0:
-            return with_count(_empty_topk(k), 0)
+            return with_count(_empty_finalize(k, collapse), 0)
         scores = np.zeros(len(cand), dtype=np.float64)
         maxs = np.zeros(len(cand), dtype=np.float64)
         for t in lists:
@@ -659,18 +796,20 @@ def wand_shard_topk_count(
         if mode == "legacy":
             scores = scores / maxs
         n_hit = np.full(len(cand), len(lists), dtype=np.int64)
-        return with_count(_topk_frame(cand, scores, n_hit, k), len(cand))
+        return with_count(
+            _finalize(cand, scores, n_hit, k, collapse), len(cand)
+        )
 
     nonempty = [t for t in lists if t.n > 0]
     if not nonempty:
-        return with_count(_empty_topk(k), 0)
+        return with_count(_empty_finalize(k, collapse), 0)
     cand = np.unique(np.concatenate([t.decode_all()[0] for t in nonempty]))
     if allowed is not None:
         cand = _intersect_sorted(cand, allowed)
     if excluded is not None:
         cand = _setdiff_sorted(cand, excluded)
     if len(cand) == 0:
-        return with_count(_empty_topk(k), 0)
+        return with_count(_empty_finalize(k, collapse), 0)
     scores = np.zeros(len(cand), dtype=np.float64)
     maxs = np.zeros(len(cand), dtype=np.float64)
     n_hit = np.zeros(len(cand), dtype=np.int64)
@@ -682,7 +821,9 @@ def wand_shard_topk_count(
     if mode == "legacy":
         scores = np.divide(scores, maxs, out=np.zeros_like(scores),
                            where=maxs > 0)
-    return with_count(_topk_frame(cand, scores, n_hit, k), len(cand))
+    return with_count(
+        _finalize(cand, scores, n_hit, k, collapse), len(cand)
+    )
 
 
 METRICS_OUT_SCHEMA = (
@@ -884,6 +1025,53 @@ def _site_members(doc_stats, site: str, n_shards: int):
     )
 
 
+def site_map_frame(doc_stats, n_shards: int):
+    """(shard, doc_id, site_id) — the doc→site map keyed to the
+    segments' doc-space hash shards, the cogroup side of the collapse
+    (host-diversification) kernels. site_id = xxhash64(site): the
+    kernel only needs site EQUALITY, not the string, so a 64-bit hash
+    keeps the shuffled map at 16 bytes/doc (collision odds at 10^12
+    docs ≈ 10^-5 per Birthday bound — two sites colliding would merely
+    over-collapse one result page; acceptable for diversification,
+    never for filtering).
+
+    Scale note: this frame is INDEX STATE, not per-query data — a warm
+    server (service.search collapse path) builds it once per index
+    generation, repartitions it by shard and persists it, so each
+    query's cogroup reuses the cached partitioning instead of
+    re-shuffling |corpus| rows."""
+    return doc_stats.select(
+        F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
+        .alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.xxhash64("site").alias("site_id"),
+    )
+
+
+def _merge_collapsed(
+    rows, n_cap: int, k: int, offset: int, conjunctive: bool, n_terms: int,
+) -> list:
+    """Driver-side exact global merge of the shards' post-cap
+    top-(k·n) rows (COLLAPSE/FUSED_COLLAPSE schema): re-rank by
+    (score desc, doc_id asc), re-apply the per-site cap over the
+    merged order, slice [offset, offset+k). Input is ≤ shards·k·n
+    rows by kernel construction — bounded however large the corpus."""
+    hits = [r for r in rows if r["n_hit"] != -1]
+    if conjunctive:
+        hits = [r for r in hits if r["n_hit"] == n_terms]
+    hits.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    per_site: dict = {}
+    kept = []
+    for r in hits:
+        c = per_site.get(r["site_id"], 0)
+        if c < n_cap:
+            per_site[r["site_id"]] = c + 1
+            kept.append(r)
+            if len(kept) >= offset + k:
+                break
+    return kept[offset:offset + k]
+
+
 def search_packed_fused(
     spark,
     segments: DataFrame,
@@ -902,6 +1090,8 @@ def search_packed_fused(
     n_shards: int | None = None,
     excluded_doc_ids: list[int] | None = None,
     lemmas: list[str] | None = None,
+    collapse_n: int | None = None,
+    site_map: DataFrame | None = None,
 ) -> tuple[list[tuple[int, float]], int]:
     """ONE kernel pass per shard serving BOTH the ranked page and the
     pre-pagination match count → ([(doc_id, score)] already
@@ -915,11 +1105,26 @@ def search_packed_fused(
     more-like-this, must not re-lemmatize them); F4 df-pruning via
     `_resolve_terms` still applies.
 
+    `collapse_n`: per-site result diversification ("host collapsing" —
+    at most n results per site, the omitted-similar-results semantics).
+    The doc→site map (`site_map`, a site_map_frame; built from
+    `doc_stats` when omitted) cogroups into the kernel by doc-space
+    shard; each shard returns its post-cap top-((offset+k)·n) rows
+    with site ids and the driver merge re-applies the cap globally —
+    exact (see _collapse_frame) with both per-task and driver memory
+    bounded by k·n. Mutually exclusive with `site`: a single-site
+    query diversified per site is a plain LIMIT n, and search engines
+    disable host collapsing under site: scoping — pass one or the
+    other. The match count stays UNCOLLAPSED (the "about N results"
+    number; an exact post-collapse count needs per-site counts from
+    every shard — unbounded by design).
+
     Plan shape: term-pruned segment scan → one applyInPandas kernel
     per shard → driver merge of ≤ n_shards·(offset+k+1) rows (the +1
-    is each shard's count sentinel). The global sort happens
-    driver-side over that bounded set — same rank order (score desc,
-    doc_id asc) as search_packed's TakeOrderedAndProject."""
+    is each shard's count sentinel; ·collapse_n under collapse). The
+    global sort happens driver-side over that bounded set — same rank
+    order (score desc, doc_id asc) as search_packed's
+    TakeOrderedAndProject."""
     from ..operators.search import MAX_OFFSET
 
     if k < 0 or offset < 0:
@@ -928,6 +1133,18 @@ def search_packed_fused(
         )
     if offset > MAX_OFFSET:
         raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
+    if collapse_n is not None:
+        if collapse_n < 1:
+            raise ValueError(f"collapse_n must be >= 1 (got {collapse_n})")
+        if site is not None:
+            raise ValueError(
+                "site filter and collapse are mutually exclusive "
+                "(a single-site query collapsed per site is LIMIT n)"
+            )
+        if site_map is None and doc_stats is None:
+            raise ValueError(
+                "collapse needs site_map (site_map_frame) or doc_stats"
+            )
     if lemmas is None:
         lemmas = lemmatize_query(query)
     if not lemmas:
@@ -943,6 +1160,35 @@ def search_packed_fused(
         np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
         if excluded_doc_ids else None
     )
+    if collapse_n is not None:
+        if site_map is None:
+            if n_shards is None:
+                n_shards = int(
+                    segments.agg(F.max("shard")).collect()[0][0]
+                ) + 1
+            site_map = site_map_frame(doc_stats, n_shards)
+
+        def _ckernel(seg_pdf: pd.DataFrame, map_pdf: pd.DataFrame):
+            ids = map_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+            sids = map_pdf["site_id"].to_numpy(dtype=np.int64, copy=True)
+            order = np.argsort(ids)
+            return wand_shard_topk_count(
+                seg_pdf, n_docs, avgdl, k_eff, conjunctive, n_terms, mode,
+                excluded=exc,
+                collapse=(collapse_n, ids[order], sids[order]),
+            )
+
+        per_shard = (
+            seg.groupby("shard")
+            .cogroup(site_map.groupby("shard"))
+            .applyInPandas(_ckernel, schema=FUSED_COLLAPSE_SCHEMA)
+        )
+        rows = per_shard.collect()
+        count = sum(r["n_matched"] for r in rows if r["n_hit"] == -1)
+        kept = _merge_collapsed(
+            rows, collapse_n, k, offset, conjunctive, n_terms
+        )
+        return [(r["doc_id"], r["score"]) for r in kept], int(count)
     if site is None:
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: wand_shard_topk_count(pdf, n_docs, avgdl, k_eff,
@@ -1004,8 +1250,16 @@ def search_packed(
     doc_stats: DataFrame | None = None,
     n_shards: int | None = None,
     excluded_doc_ids: list[int] | None = None,
+    collapse_n: int | None = None,
+    site_map: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k over the packed index → DataFrame(doc_id, score).
+
+    `collapse_n` (+ `site_map`/`doc_stats`): per-site result
+    diversification — at most collapse_n results per site. Delegates
+    to search_packed_fused's collapse kernel + exact bounded global
+    merge (see there for semantics and the exactness argument) and
+    re-materializes the page as a DataFrame.
 
     Plan shape: parquet scan pruned to the query terms (term predicate
     + shard partitioning) → one applyInPandas kernel per shard →
@@ -1047,6 +1301,17 @@ def search_packed(
         )
     if offset > MAX_OFFSET:
         raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
+    if collapse_n is not None:
+        hits, _ = search_packed_fused(
+            spark, segments, term_stats, n_docs, avgdl, query, k=k,
+            conjunctive=conjunctive, max_rel_freq=max_rel_freq,
+            df_map=df_map, mode=mode, offset=offset, doc_stats=doc_stats,
+            n_shards=n_shards, excluded_doc_ids=excluded_doc_ids,
+            collapse_n=collapse_n, site_map=site_map,
+        )
+        if not hits:
+            return empty_df(spark, "doc_id long, score double")
+        return spark.createDataFrame(hits, "doc_id long, score double")
     lemmas = lemmatize_query(query)
     if not lemmas:
         return empty_df(spark, "doc_id long, score double")

@@ -267,6 +267,66 @@ def search_with_snippets(
     )
 
 
+def search_collapsed(
+    spark,
+    index: IndexTables,
+    query: str,
+    n_per_site: int,
+    k: int = 20,
+    offset: int = 0,
+    mode: str = "bm25",
+    conjunctive: bool = True,
+    constants: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Per-site result diversification ("host collapsing"): the ranked
+    result list keeps at most `n_per_site` hits per site, then the top
+    k of what survives → DataFrame(url, doc_id, score, site) ordered
+    by (score desc, doc_id asc), sliced [offset, offset+k).
+
+    This is the RELATIONAL form — the executable spec the DuckDB
+    oracle replays (contract q_search_collapsed) and the rank-identity
+    twin of the packed path (index.wand search_packed collapse_n=…,
+    which serves it from compressed segments with per-task memory
+    bounded by k·n). Shape here: one extra shuffle partitioning the
+    scored candidates by site for the row_number cap (the window's
+    state is a running counter, not a buffer), then the usual
+    TakeOrderedAndProject top-k. NOTE the cap must run over ALL scored
+    candidates — a raw-score global top-(k·n) pre-cut would be WRONG
+    (one site can fill any raw prefix; a post-collapse winner may sit
+    arbitrarily deep in raw rank), which is exactly why the packed
+    kernel caps per-shard before its k·n cut rather than after."""
+    from pyspark.sql import Window
+
+    if n_per_site < 1:
+        raise ValueError(f"n_per_site must be >= 1 (got {n_per_site})")
+    if k < 0 or offset < 0:
+        raise ValueError(f"k and offset must be >= 0 (got k={k}, offset={offset})")
+    if offset > MAX_OFFSET:
+        raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
+    cand = _search_candidates(
+        spark, index, query, mode=mode, conjunctive=conjunctive,
+        constants=constants,
+    )
+    w = Window.partitionBy("site").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        cand.join(index.doc_stats.select("doc_id", "site"), "doc_id")
+        .withColumn("site_rank", F.row_number().over(w))
+        .filter(F.col("site_rank") <= n_per_site)
+        .select("url", "doc_id", "score", "site")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(offset + k)
+    )
+    if offset:
+        sliced = out.collect()[offset:]
+        return (
+            spark.createDataFrame(sliced, out.schema)
+            if sliced
+            else empty_df(spark, "url string, doc_id long, score double, "
+                                 "site string")
+        )
+    return out
+
+
 def match_count(spark, index: IndexTables, query: str,
                 site: str | None = None,
                 constants: tuple[int, float] | None = None) -> int:

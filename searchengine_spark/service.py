@@ -127,17 +127,19 @@ class SearchService:
     def search(self, query: str, site: str | None = None, offset: int = 0,
                limit: int = 20, snippets: bool = False, mode: str = "bm25",
                conjunctive: bool = True, blend: float | None = None,
-               oversample: int = 4, correct: bool = False) -> dict:
+               oversample: int = 4, correct: bool = False,
+               collapse: int | None = None) -> dict:
         return self._cached(
             # oversample only affects blended requests — keep it out of
             # the key otherwise so identical responses share one slot
             ("search", query, site, offset, limit, snippets, mode,
              conjunctive, blend,
-             oversample if blend is not None else None, correct),
+             oversample if blend is not None else None, correct, collapse),
             lambda: self._search_uncached(
                 query, site=site, offset=offset, limit=limit,
                 snippets=snippets, mode=mode, conjunctive=conjunctive,
-                blend=blend, oversample=oversample, correct=correct),
+                blend=blend, oversample=oversample, correct=correct,
+                collapse=collapse),
         )
 
     def phrase(self, query: str, limit: int = 20) -> dict:
@@ -220,6 +222,7 @@ class SearchService:
         blend: float | None = None,
         oversample: int = 4,
         correct: bool = False,
+        collapse: int | None = None,
     ) -> dict:
         """SearchResponse dict: {result, count, data:[{site, uri, url,
         doc_id, title, relevance[, snippet]}]}. `count` is the
@@ -247,11 +250,22 @@ class SearchService:
         come back as response["corrected"] = {typed: served}, and
         snippets highlight the corrected terms. The contract analog
         (full DuckDB oracle of correction + retrieval) is
-        contract.q_corrected_search."""
+        contract.q_corrected_search.
+
+        `collapse=n` (host collapsing, beyond-reference): at most n
+        results per site in the ranked list — the "omitted similar
+        results" semantics. Served by the collapse-aware WAND kernel
+        over a per-index-generation cached doc→site map (see
+        index.wand.site_map_frame); the response `count` stays the
+        UNCOLLAPSED match total. Mutually exclusive with `site`
+        (enforced in the kernel entry) and with `blend` (rerank after
+        collapse would need its own oversample ladder — unsupported)."""
         if snippets and self.docs_text is None:
             raise ValueError(
                 "snippets need docs_text (doc_id, text) at open"
             )
+        if collapse is not None and blend is not None:
+            raise ValueError("collapse and blend cannot combine")
         from .operators.search import lemmatize_query
 
         q_lemmas = lemmatize_query(query)
@@ -266,6 +280,8 @@ class SearchService:
             mode=mode, conjunctive=conjunctive, df_map=self.df_map,
             doc_stats=self.serve_meta, n_shards=self.n_shards,
             excluded_doc_ids=self.tombstoned,
+            collapse_n=collapse,
+            site_map=self._get_site_map() if collapse is not None else None,
         )
         parts = None
         if blend is not None:
@@ -843,10 +859,31 @@ class SearchService:
 
     # -- internals -----------------------------------------------------------
 
+    def _get_site_map(self):
+        """doc→site_id map for collapse requests, keyed to the doc-space
+        shards, repartitioned by shard and cached — built ONCE per index
+        generation (invalidated by _open_segments), so a collapse query's
+        cogroup reuses the cached partitioning instead of re-shuffling
+        |corpus| rows per request."""
+        from .index.wand import site_map_frame
+
+        if getattr(self, "_site_map_df", None) is None:
+            self._site_map_df = (
+                site_map_frame(self.serve_meta, self.n_shards)
+                .repartition(self.n_shards, "shard")
+                .cache()
+            )
+            self._site_map_df.count()
+        return self._site_map_df
+
     def _open_segments(self) -> None:
         # every index mutation funnels through here — drop cached
         # responses before swapping the serving state
         self._response_cache.clear()
+        old_map = getattr(self, "_site_map_df", None)
+        if old_map is not None:
+            old_map.unpersist()
+        self._site_map_df = None
         old = getattr(self, "segments", None)
         if old is not None:
             old.unpersist()

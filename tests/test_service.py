@@ -349,3 +349,39 @@ def test_response_cache_bounded(spark, served):
     assert len(svc._response_cache) <= svc._CACHE_MAX
     assert ("k", 0) not in svc._response_cache
     svc._response_cache.clear()
+
+
+def test_search_collapse_per_site(spark, served):
+    """collapse=n serves at most n hits per site; result order equals
+    the relational collapsed spec; count stays the uncollapsed total;
+    the site map is built once per index generation."""
+    from searchengine_spark.operators.search import search_collapsed
+
+    svc, idx, constants = served
+    q = "быстрый поиск"
+    resp = svc.search(q, limit=10, collapse=1, conjunctive=False)
+    # count is the UNCOLLAPSED match total — identical to the plain
+    # (non-collapsed) response's count
+    assert resp["count"] == svc.search(q, conjunctive=False)["count"]
+    assert resp["count"] > len(resp["data"])
+    sites = [d["site"] for d in resp["data"]]
+    assert len(sites) == len(set(sites))  # n=1 ⇒ all distinct
+    want = search_collapsed(
+        spark, idx, q, 1, k=10, conjunctive=False, constants=constants
+    ).collect()
+    assert [d["doc_id"] for d in resp["data"]] == [
+        r["doc_id"] for r in want
+    ]
+    # cached map reused across requests...
+    m1 = svc._get_site_map()
+    svc.search(q, limit=5, collapse=2, conjunctive=False)
+    assert svc._get_site_map() is m1
+    # ...and invalidated by a write
+    svc.index_page(
+        "https://site0.example/collapsetest", text="быстрый поиск тест"
+    )
+    assert svc._site_map_df is None
+    resp2 = svc.search(q, limit=10, collapse=1, conjunctive=False)
+    assert len({d["site"] for d in resp2["data"]}) == len(resp2["data"])
+    with pytest.raises(ValueError, match="collapse and blend"):
+        svc.search(q, collapse=1, blend=0.5)
