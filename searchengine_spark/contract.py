@@ -383,6 +383,102 @@ def q_search_collapsed(spark, sf_dir):
     )
 
 
+# -- per-term query boosts (Lucene term^w, beyond-reference): each term's
+#    BM25 contribution scales by its weight before the per-doc sum.
+#    Production forms: operators.search.search(boosts=…) /
+#    parse_boosted_query ("term^2.5" syntax) and the packed WAND kernels
+#    (index.wand._TermList boost — block-max bounds scale with the score,
+#    so pruning stays sound; packed ≡ relational pinned by
+#    tests/test_boosts.py). Weights here: spark^2, stream^0.5. ---------------
+_SQL_BOOSTED = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl)
+SELECT t.doc_id,
+       floor(sum(
+         (ln(1.0 + (n - df + 0.5) / (df + 0.5))
+          * tf * 2.2
+          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl)))
+         * (CASE WHEN term = 'spark' THEN 2.0
+                 WHEN term = 'stream' THEN 0.5 ELSE 1.0 END)
+       ) * 10000.0 + 0.5)::BIGINT AS score_e4,
+       count(*)::BIGINT AS n_hit
+FROM tf t
+JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+WHERE term IN {QT_SQL}
+GROUP BY t.doc_id
+"""
+
+
+@_reg("q_boosted_search", _SQL_BOOSTED)
+def q_boosted_search(spark, sf_dir):
+    from .operators.search import bm25_term_score
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    weight = (
+        F.when(F.col("term") == "spark", F.lit(2.0))
+        .when(F.col("term") == "stream", F.lit(0.5))
+        .otherwise(F.lit(1.0))
+    )
+    return (
+        tf.filter(F.col("term").isin(QT))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx.filter(F.col("term").isin(QT))), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w * weight) * 10000.0 + F.lit(0.5)).cast("long")
+            .alias("score_e4"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+        .select("doc_id", "score_e4", "n_hit")
+    )
+
+
+# -- per-site facet counts of the match set ("N results from site X" —
+#    the search-results sidebar; beyond-reference). Production forms:
+#    operators.search.search_facets (relational) and
+#    index.wand.facet_counts_packed (per-shard match-set reduction to
+#    (site_id, partial) via the cogrouped doc→site map — only facet
+#    partials ever leave a task). ------------------------------------------
+_SQL_FACETS = f"""
+WITH {_SQL_TOK},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {QT_SQL})
+SELECT d.source AS site, count(*)::BIGINT AS n
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY n DESC, site ASC LIMIT 10
+"""
+
+
+@_reg("q_search_facets", _SQL_FACETS)
+def q_search_facets(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    m = (
+        _tf(docs).filter(F.col("term").isin(QT))
+        .select("doc_id").distinct()
+    )
+    return (
+        m.join(docs.select("doc_id", F.col("source").alias("site")),
+               "doc_id")
+        .groupBy("site")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("site"))
+        .limit(10)
+    )
+
+
 # -- boolean retrieval: explicit AND/OR/NOT over postings (beyond the
 #    reference's implicit-AND, ApiService.java:127-139); scored over the
 #    POSITIVE terms only, NOT branches restrict the match set -----------------
@@ -1686,7 +1782,7 @@ _PRIORITY = [
     # NEW this round (r4: boolean AND/OR/NOT retrieval, prefix
     # wildcard retrieval, SymSpell fuzzy suggestion, more-like-this,
     # link graph, anchor indexing) — must receive a correctness row
-    "q_search_collapsed",
+    "q_search_collapsed", "q_search_facets", "q_boosted_search",
     "q_more_like_this", "q_corrected_search", "q_bm25f_title",
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
     "q_static_rank_blend", "q_anchor_bm25", "q_hits",

@@ -62,13 +62,24 @@ class _TermList:
 
     __slots__ = (
         "n", "df", "block_last", "block_max", "gmax", "n_decoded",
-        "_n_docs", "_avgdl", "_mode",
+        "_n_docs", "_avgdl", "_mode", "_boost",
         "_bids", "_btfs", "_bdls", "_oids", "_otfs", "_odls",
         "_cache", "_full",
     )
 
     def __init__(self, rows: pd.DataFrame, n_docs: int, avgdl: float,
-                 mode: str = "bm25"):
+                 mode: str = "bm25", boost: float = 1.0):
+        # per-term query boost (Lucene term^w): scores AND the packed
+        # block-max/gmax bounds scale linearly by boost — for boost>0
+        # the scaled bounds stay exact upper bounds, so every pruning
+        # argument (block-max, essential-list cut, θ-seed) carries
+        # over unchanged. bm25 only: legacy sum/max is a tf ratio.
+        if boost != 1.0 and (boost <= 0.0 or mode != "bm25"):
+            raise ValueError(
+                f"boost must be > 0 and bm25-mode only (got {boost}, "
+                f"mode={mode})"
+            )
+        self._boost = boost
         self._n_docs, self._avgdl, self._mode = n_docs, avgdl, mode
         self.df = int(rows["df"].iloc[0])
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -91,6 +102,8 @@ class _TermList:
             self._odls = np.asarray(row["block_off_dls"], dtype=np.int64)
             self.block_last = np.asarray(row["block_last_doc"], dtype=np.int64)
             self.block_max = np.asarray(row["block_max_score"], dtype=np.float64)
+            if self._boost != 1.0:
+                self.block_max = self.block_max * self._boost
             self.gmax = float(self.block_max.max()) if self.n else 0.0
             return
         # eager: merge runs (last run wins per doc_id — upsert)
@@ -144,7 +157,10 @@ class _TermList:
             # reference A3 contribution = raw rank (tf); the kernel
             # finishes with sum/max
             return tfs.astype(np.float64)
-        return bm25_scores_np(tfs, dls, self.df, self._n_docs, self._avgdl)
+        sc = bm25_scores_np(tfs, dls, self.df, self._n_docs, self._avgdl)
+        if self._boost != 1.0:
+            sc = sc * self._boost
+        return sc
 
     # --- lazy plumbing -----------------------------------------------------
 
@@ -571,6 +587,7 @@ def wand_shard_topk(
     n_terms: int, mode: str = "bm25", allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
     collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
+    boosts: dict | None = None,
 ) -> pd.DataFrame:
     """One shard's segments (all query terms) → shard-local top-k.
     mode="legacy" scores sum(tf)/max(tf) (reference A3) — block-max
@@ -602,8 +619,9 @@ def wand_shard_topk(
     if allowed is not None and len(allowed) == 0:
         return _empty_finalize(k, collapse)
     lists = [
-        _TermList(rows, n_docs, avgdl, mode)
-        for _, rows in pdf.groupby("term", sort=False)
+        _TermList(rows, n_docs, avgdl, mode,
+                  boost=boosts.get(t, 1.0) if boosts else 1.0)
+        for t, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
         return _empty_finalize(k, collapse)
@@ -686,6 +704,7 @@ def wand_shard_topk_count(
     allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
     collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
+    boosts: dict | None = None,
 ) -> pd.DataFrame:
     """wand_shard_topk PLUS the shard's pre-top-k match count in the
     SAME pass (the reference response carries both the ranked page and
@@ -730,8 +749,9 @@ def wand_shard_topk_count(
     if allowed is not None and len(allowed) == 0:
         return with_count(_empty_finalize(k, collapse), 0)
     lists = [
-        _TermList(rows, n_docs, avgdl, mode)
-        for _, rows in pdf.groupby("term", sort=False)
+        _TermList(rows, n_docs, avgdl, mode,
+                  boost=boosts.get(t, 1.0) if boosts else 1.0)
+        for t, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
         return with_count(_empty_finalize(k, collapse), 0)
@@ -837,6 +857,7 @@ def wand_shard_metrics(
     conjunctive: bool, n_terms: int, mode: str = "bm25",
     allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
+    boosts: dict | None = None,
 ) -> pd.DataFrame:
     """One shard's PRUNING-EFFECTIVENESS counters for a query — the
     observability face of the block-max WAND kernel (per-partition
@@ -886,8 +907,9 @@ def wand_shard_metrics(
     if allowed is not None and len(allowed) == 0:
         return row([], 0, 0, 0.0)
     lists = [
-        _TermList(rows, n_docs, avgdl, mode)
-        for _, rows in pdf.groupby("term", sort=False)
+        _TermList(rows, n_docs, avgdl, mode,
+                  boost=boosts.get(t, 1.0) if boosts else 1.0)
+        for t, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
         return row([], 0, 0, 0.0)
@@ -1092,6 +1114,7 @@ def search_packed_fused(
     lemmas: list[str] | None = None,
     collapse_n: int | None = None,
     site_map: DataFrame | None = None,
+    boosts: dict | None = None,
 ) -> tuple[list[tuple[int, float]], int]:
     """ONE kernel pass per shard serving BOTH the ranked page and the
     pre-pagination match count → ([(doc_id, score)] already
@@ -1133,6 +1156,10 @@ def search_packed_fused(
         )
     if offset > MAX_OFFSET:
         raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
+    if boosts and (mode != "bm25" or any(w <= 0 for w in boosts.values())):
+        raise ValueError(
+            f"boosts need bm25 mode and weights > 0 (mode={mode}, {boosts})"
+        )
     if collapse_n is not None:
         if collapse_n < 1:
             raise ValueError(f"collapse_n must be >= 1 (got {collapse_n})")
@@ -1176,6 +1203,7 @@ def search_packed_fused(
                 seg_pdf, n_docs, avgdl, k_eff, conjunctive, n_terms, mode,
                 excluded=exc,
                 collapse=(collapse_n, ids[order], sids[order]),
+                boosts=boosts,
             )
 
         per_shard = (
@@ -1193,7 +1221,7 @@ def search_packed_fused(
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: wand_shard_topk_count(pdf, n_docs, avgdl, k_eff,
                                               conjunctive, n_terms, mode,
-                                              excluded=exc),
+                                              excluded=exc, boosts=boosts),
             schema=FUSED_OUT_SCHEMA,
         )
     else:
@@ -1214,7 +1242,8 @@ def search_packed_fused(
             )
             return wand_shard_topk_count(seg_pdf, n_docs, avgdl, k_eff,
                                          conjunctive, n_terms, mode,
-                                         allowed=allowed, excluded=exc)
+                                         allowed=allowed, excluded=exc,
+                                         boosts=boosts)
 
         per_shard = (
             seg.groupby("shard")
@@ -1252,6 +1281,7 @@ def search_packed(
     excluded_doc_ids: list[int] | None = None,
     collapse_n: int | None = None,
     site_map: DataFrame | None = None,
+    boosts: dict | None = None,
 ) -> DataFrame:
     """Top-k over the packed index → DataFrame(doc_id, score).
 
@@ -1301,13 +1331,17 @@ def search_packed(
         )
     if offset > MAX_OFFSET:
         raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
+    if boosts and (mode != "bm25" or any(w <= 0 for w in boosts.values())):
+        raise ValueError(
+            f"boosts need bm25 mode and weights > 0 (mode={mode}, {boosts})"
+        )
     if collapse_n is not None:
         hits, _ = search_packed_fused(
             spark, segments, term_stats, n_docs, avgdl, query, k=k,
             conjunctive=conjunctive, max_rel_freq=max_rel_freq,
             df_map=df_map, mode=mode, offset=offset, doc_stats=doc_stats,
             n_shards=n_shards, excluded_doc_ids=excluded_doc_ids,
-            collapse_n=collapse_n, site_map=site_map,
+            collapse_n=collapse_n, site_map=site_map, boosts=boosts,
         )
         if not hits:
             return empty_df(spark, "doc_id long, score double")
@@ -1333,7 +1367,7 @@ def search_packed(
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: wand_shard_topk(pdf, n_docs, avgdl, k_eff,
                                         conjunctive, n_terms, mode,
-                                        excluded=exc),
+                                        excluded=exc, boosts=boosts),
             schema=TOPK_OUT_SCHEMA,
         )
     else:
@@ -1358,7 +1392,8 @@ def search_packed(
             )
             return wand_shard_topk(seg_pdf, n_docs, avgdl, k_eff,
                                    conjunctive, n_terms, mode,
-                                   allowed=allowed, excluded=exc)
+                                   allowed=allowed, excluded=exc,
+                                   boosts=boosts)
 
         per_shard = (
             seg.groupby("shard")
@@ -1528,3 +1563,117 @@ def match_count_packed(
         )
     row = per_shard.agg(F.sum("n_matched")).collect()[0][0]
     return int(row or 0)
+
+
+def facet_counts_packed(
+    spark,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    query: str,
+    conjunctive: bool = True,
+    top: int = 10,
+    max_rel_freq: float = 0.95,
+    df_map: dict | None = None,
+    n_shards: int | None = None,
+    excluded_doc_ids: list[int] | None = None,
+    site_map: DataFrame | None = None,
+    site_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Per-site facet counts of the match set — the "N results from
+    site X" sidebar every web search serves next to the ranked list →
+    DataFrame(site string, n long) ordered (n desc, site asc),
+    limited to `top`.
+
+    Distributed shape (the part that must survive 100 TB): each
+    shard's kernel computes its own match set (ids only — same
+    intersection/union as match_count_packed, no scoring, no sort)
+    and reduces it to (site_id, partial count) rows via the cogrouped
+    doc→site map — at most sites-per-shard rows leave a task, never
+    doc ids. A tiny groupBy(site_id) shuffle sums the partials
+    (map-side combine applies), the site dimension joins the names
+    back, and TakeOrderedAndProject keeps the top facets. The corpus
+    itself never moves.
+
+    `site_map` / `site_dim`: pass the warm server's cached frames
+    (site_map_frame + its distinct (site_id, site) dim) to skip the
+    per-query derivation; both derive from `doc_stats` when omitted.
+    `excluded_doc_ids`: tombstone deny-list, same as search_packed."""
+    out_schema = "site string, n long"
+    from ..operators.search import empty_df
+
+    lemmas = lemmatize_query(query)
+    if not lemmas:
+        return empty_df(spark, out_schema)
+    terms = _resolve_terms(term_stats, n_docs, lemmas, max_rel_freq, df_map)
+    if not terms:
+        return empty_df(spark, out_schema)
+    n_terms = len(terms)
+
+    if n_shards is None:
+        n_shards = int(segments.agg(F.max("shard")).collect()[0][0]) + 1
+    if site_map is None:
+        site_map = site_map_frame(doc_stats, n_shards)
+    if site_dim is None:
+        site_dim = doc_stats.select(
+            F.xxhash64("site").alias("site_id"), "site"
+        ).distinct()
+    exc = (
+        np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
+        if excluded_doc_ids else None
+    )
+
+    def _kernel(pdf: pd.DataFrame, map_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"site_id": np.empty(0, np.int64), "n": np.empty(0, np.int64)}
+        )
+        lists = [
+            _TermList(rows, n_docs, 1.0)
+            for _, rows in pdf.groupby("term", sort=False)
+        ]
+        if not lists:
+            return empty
+        if conjunctive:
+            if len(lists) < n_terms:
+                return empty
+            lists.sort(key=lambda t: t.n)
+            cand = lists[0].decode_all()[0]
+            if exc is not None:
+                cand = _setdiff_sorted(cand, exc)
+            for t in lists[1:]:
+                if len(cand) == 0:
+                    break
+                _, present = t.lookup(cand)
+                cand = cand[present]
+        else:
+            cand = np.unique(
+                np.concatenate([t.decode_all()[0] for t in lists])
+            )
+            if exc is not None:
+                cand = _setdiff_sorted(cand, exc)
+        if len(cand) == 0:
+            return empty
+        ids = map_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
+        sids = map_pdf["site_id"].to_numpy(dtype=np.int64, copy=True)
+        order = np.argsort(ids)
+        sites = _site_of(cand, ids[order], sids[order])
+        uniq, counts = np.unique(sites, return_counts=True)
+        return pd.DataFrame(
+            {"site_id": uniq, "n": counts.astype(np.int64)}
+        )
+
+    seg = segments.filter(F.col("term").isin(terms))
+    partials = (
+        seg.groupby("shard")
+        .cogroup(site_map.groupby("shard"))
+        .applyInPandas(_kernel, schema="site_id long, n long")
+    )
+    return (
+        partials.groupBy("site_id")
+        .agg(F.sum("n").alias("n"))
+        .join(site_dim, "site_id")
+        .select("site", "n")
+        .orderBy(F.desc("n"), F.asc("site"))
+        .limit(top)
+    )

@@ -130,13 +130,24 @@ def _search_candidates(
     mode: str = "bm25",
     conjunctive: bool = True,
     constants: tuple[int, float] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Scored + conjunctively-filtered candidates (url, doc_id, score)
     with NO ordering — the shared frame under both search() (which adds
     the top-k heap) and match_count() (which only counts: pinning a
     global sort into a count plan is wasted work that becomes a real
     bottleneck at scale). Returns an empty LocalRelation frame for the
-    empty/pruned/unknown-term cases."""
+    empty/pruned/unknown-term cases.
+
+    `boosts` {lemma: weight>0}: per-term query boosts (Lucene term^w) —
+    each boosted term's BM25 contribution scales by its weight before
+    the per-doc sum. bm25 mode only (legacy sum/max is a tf ratio).
+    Parse user "term^2.5" syntax with parse_boosted_query."""
+    if boosts:
+        if mode != "bm25":
+            raise ValueError("boosts are bm25-mode only")
+        if any(w <= 0 for w in boosts.values()):
+            raise ValueError(f"boost weights must be > 0: {boosts}")
     lemmas = lemmatize_query(query)
     # Site filter restricts CANDIDATES only; corpus statistics (N,
     # avgdl, df) stay global — filtered retrieval must not change term
@@ -170,7 +181,16 @@ def _search_candidates(
     if mode == "bm25":
         contrib = bm25_term_score(
             n_docs=F.lit(float(n_docs)), avgdl=F.lit(avgdl)
-        ).alias("w")
+        )
+        if boosts:
+            # literal CASE over ≤ a few query terms — stays inside
+            # whole-stage codegen, no extra join
+            weight = F.lit(1.0)
+            for t, bw in sorted(boosts.items()):
+                weight = F.when(F.col("term") == t, F.lit(float(bw))) \
+                    .otherwise(weight)
+            contrib = contrib * weight
+        contrib = contrib.alias("w")
         per_doc = matched.select("doc_id", "url", "term", contrib).groupBy(
             "doc_id", "url"
         )
@@ -193,6 +213,27 @@ def _search_candidates(
     return agg.select("url", "doc_id", "score")
 
 
+def parse_boosted_query(query: str) -> tuple[str, dict[str, float]]:
+    """Lucene `term^2.5` boost syntax → (query with carets stripped,
+    {lemma: weight}). The weight applies to every lemma the boosted
+    token analyzes to; a lemma boosted twice keeps the larger weight.
+    Unboosted tokens pass through untouched."""
+    import re
+
+    boosts: dict[str, float] = {}
+    plain: list[str] = []
+    for tok in query.split():
+        m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", tok)
+        if m and float(m.group(2)) > 0:
+            w = float(m.group(2))
+            for lem in lemmatize_query(m.group(1)):
+                boosts[lem] = max(w, boosts.get(lem, 0.0))
+            plain.append(m.group(1))
+        else:
+            plain.append(tok)
+    return " ".join(plain), boosts
+
+
 def search(
     spark,
     index: IndexTables,
@@ -203,9 +244,12 @@ def search(
     mode: str = "bm25",
     conjunctive: bool = True,
     constants: tuple[int, float] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k search → DataFrame(url, doc_id, score) ordered by
-    (score desc, url asc), sliced [offset, offset+k)."""
+    (score desc, url asc), sliced [offset, offset+k).
+    `boosts` {lemma: weight}: per-term query boosts (see
+    _search_candidates / parse_boosted_query)."""
     if k < 0 or offset < 0:
         raise ValueError(f"k and offset must be >= 0 (got k={k}, offset={offset})")
     if offset > MAX_OFFSET:
@@ -214,7 +258,7 @@ def search(
         raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
     cand = _search_candidates(
         spark, index, query, site=site, mode=mode, conjunctive=conjunctive,
-        constants=constants,
+        constants=constants, boosts=boosts,
     )
     # deterministic total order: (score desc, doc_id asc) — the same
     # tie-break the packed/WAND path and the oracle use (rank-identity)
@@ -325,6 +369,32 @@ def search_collapsed(
                                  "site string")
         )
     return out
+
+
+def search_facets(
+    spark,
+    index: IndexTables,
+    query: str,
+    top: int = 10,
+    conjunctive: bool = True,
+    constants: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Per-site facet counts of the match set ("N results from site
+    X") → DataFrame(site, n) ordered (n desc, site asc), top `top`.
+    Relational spec twin of index.wand.facet_counts_packed (rank
+    identity pinned by tests/test_facets.py); one groupBy(site)
+    shuffle over the match set with map-side combine, then a
+    TakeOrderedAndProject — no sort of the full facet table."""
+    cand = _search_candidates(
+        spark, index, query, conjunctive=conjunctive, constants=constants,
+    )
+    return (
+        cand.join(index.doc_stats.select("doc_id", "site"), "doc_id")
+        .groupBy("site")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("site"))
+        .limit(top)
+    )
 
 
 def match_count(spark, index: IndexTables, query: str,

@@ -142,6 +142,14 @@ class SearchService:
                 collapse=collapse),
         )
 
+    def facets(self, query: str, top: int = 10,
+               conjunctive: bool = True) -> dict:
+        return self._cached(
+            ("facets", query, top, conjunctive),
+            lambda: self._facets_uncached(
+                query, top=top, conjunctive=conjunctive),
+        )
+
     def phrase(self, query: str, limit: int = 20) -> dict:
         return self._cached(
             ("phrase", query, limit),
@@ -266,8 +274,19 @@ class SearchService:
             )
         if collapse is not None and blend is not None:
             raise ValueError("collapse and blend cannot combine")
-        from .operators.search import lemmatize_query
+        from .operators.search import lemmatize_query, parse_boosted_query
 
+        boosts = None
+        if "^" in query:
+            # Lucene term^w query boosts (beyond-reference): weights
+            # scale the term's BM25 contribution AND its block-max
+            # bounds inside the WAND kernel — pruning stays sound
+            # (index/wand._TermList). bm25 mode only; a boost on a
+            # lemma the did-you-mean path corrects is dropped with it.
+            query, parsed = parse_boosted_query(query)
+            boosts = parsed or None
+            if boosts and mode != "bm25":
+                raise ValueError("term^w boosts need bm25 mode")
         q_lemmas = lemmatize_query(query)
         corrections: dict[str, str] = {}
         if correct:
@@ -282,6 +301,7 @@ class SearchService:
             excluded_doc_ids=self.tombstoned,
             collapse_n=collapse,
             site_map=self._get_site_map() if collapse is not None else None,
+            boosts=boosts,
         )
         parts = None
         if blend is not None:
@@ -859,6 +879,44 @@ class SearchService:
 
     # -- internals -----------------------------------------------------------
 
+    def _facets_uncached(self, query: str, top: int = 10,
+                         conjunctive: bool = True) -> dict:
+        """Per-site facet counts of the match set ("N results from
+        site X") → {result, facets: [{site, count}, ...]} ordered
+        (count desc, site asc). Served by the packed facet kernel
+        (index.wand.facet_counts_packed) over the same cached doc→site
+        map collapse uses plus a cached (site_id, site) dimension —
+        only per-shard facet partials ever leave a task. Tombstoned
+        docs are excluded; the relational spec twin is
+        operators.search.search_facets."""
+        from .index.wand import facet_counts_packed
+
+        rows = facet_counts_packed(
+            self.spark, self.segments, self.term_stats, self.serve_meta,
+            self.n_docs, query, conjunctive=conjunctive, top=top,
+            df_map=self.df_map, n_shards=self.n_shards,
+            excluded_doc_ids=self.tombstoned,
+            site_map=self._get_site_map(), site_dim=self._get_site_dim(),
+        ).collect()
+        return {
+            "result": True,
+            "facets": [
+                {"site": r["site"], "count": int(r["n"])} for r in rows
+            ],
+        }
+
+    def _get_site_dim(self):
+        """(site_id, site) dimension for facet responses — cached per
+        index generation alongside the site map."""
+        if getattr(self, "_site_dim_df", None) is None:
+            self._site_dim_df = (
+                self.serve_meta.select(
+                    F.xxhash64("site").alias("site_id"), "site"
+                ).distinct().cache()
+            )
+            self._site_dim_df.count()
+        return self._site_dim_df
+
     def _get_site_map(self):
         """doc→site_id map for collapse requests, keyed to the doc-space
         shards, repartitioned by shard and cached — built ONCE per index
@@ -884,6 +942,10 @@ class SearchService:
         if old_map is not None:
             old_map.unpersist()
         self._site_map_df = None
+        old_dim = getattr(self, "_site_dim_df", None)
+        if old_dim is not None:
+            old_dim.unpersist()
+        self._site_dim_df = None
         old = getattr(self, "segments", None)
         if old is not None:
             old.unpersist()

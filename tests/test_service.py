@@ -385,3 +385,46 @@ def test_search_collapse_per_site(spark, served):
     assert len({d["site"] for d in resp2["data"]}) == len(resp2["data"])
     with pytest.raises(ValueError, match="collapse and blend"):
         svc.search(q, collapse=1, blend=0.5)
+
+
+def test_facets_endpoint(spark, served):
+    """facets() is consistent with the service's own serving state
+    (tombstones + delta pages included): per-site counts sum to the
+    uncollapsed match total, ordered (count desc, site asc)."""
+    svc, idx, constants = served
+    q = "быстрый поиск"
+    resp = svc.facets(q, top=50, conjunctive=False)
+    assert resp["result"] is True
+    got = [(f["site"], f["count"]) for f in resp["facets"]]
+    assert got, "fixture query must match"
+    # the strong invariant: Σ facet counts == the pre-pagination match
+    # count of the SAME query through the same serving state
+    total = svc.search(q, conjunctive=False)["count"]
+    assert sum(c for _, c in got) == total
+    # deterministic order: count desc, site asc on ties
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+    # sites are distinct
+    assert len({s for s, _ in got}) == len(got)
+    # cached: identical request → identical response
+    assert svc.facets(q, top=50, conjunctive=False) == resp
+    # conjunctive variant consistent too
+    cresp = svc.facets(q, top=50, conjunctive=True)
+    assert sum(f["count"] for f in cresp["facets"]) == svc.search(q)["count"]
+
+
+def test_search_boost_syntax(spark, served):
+    """'term^w' in the query boosts that term's BM25 contribution on
+    the packed serving path — rank-identical to the relational boosted
+    search over the same (un-mutated subset of the) index."""
+    svc, idx, constants = served
+    q = "быстрый^4 поиск"
+    resp = svc.search(q, limit=10, conjunctive=False)
+    assert resp["result"] is True and resp["data"]
+    plain = svc.search("быстрый поиск", limit=10, conjunctive=False)
+    # same match set, different ranking weights
+    assert resp["count"] == plain["count"]
+    assert [d["relevance"] for d in resp["data"]] != [
+        d["relevance"] for d in plain["data"]
+    ]
+    with pytest.raises(ValueError, match="bm25"):
+        svc.search(q, mode="legacy")
