@@ -380,6 +380,28 @@ def main() -> None:
     queries["service_blend"] = timed(
         lambda: svc.search("быстрый поиск слова", limit=20, blend=1.0)
     )
+    # r4 retrieval surface: host collapsing (first call builds the
+    # cached per-generation site map — report warm latency, the
+    # serving shape), facet counts, term^w boosts, synonym expansion
+    svc.search("быстрый поиск", limit=20, collapse=2, conjunctive=False)
+    queries["service_collapse"] = timed(
+        lambda: svc.search("быстрый поиск", limit=20, collapse=2,
+                           conjunctive=False)
+    )
+    queries["service_facets"] = timed(
+        lambda: svc.facets("быстрый поиск", conjunctive=False)
+    )
+    queries["service_boosted"] = timed(
+        lambda: svc.search("быстрый^3 поиск слова", limit=20)
+    )
+    from searchengine_spark.operators.search import lemmatize_query as _lq
+
+    _syn = {t: _lq("медленный") for t in _lq("быстрый")}
+    queries["service_synonyms"] = timed(
+        lambda: svc.search(
+            "быстрый поиск", limit=20, conjunctive=False, synonyms=_syn,
+        )
+    )
     # front-tier response-cache hit latency (pure driver-side path)
     svc._cache_responses = True
     svc.search("быстрый поиск слова", limit=20)  # populate

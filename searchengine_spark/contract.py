@@ -446,6 +446,79 @@ def q_boosted_search(spark, sf_dir):
     )
 
 
+# -- query-time synonym expansion (OR-expansion-with-discount, beyond-
+#    reference): the query's terms plus their synonym lemmas, synonym
+#    contributions discounted ×0.5. Production forms:
+#    operators.search.expand_synonyms/search_with_synonyms (relational)
+#    and the packed fused kernel via (lemmas=…, boosts=…) — served by
+#    SearchService.search(synonyms=…). Expansion here:
+#    join→merge, stream→batch. --------------------------------------------
+_SQL_SYNONYM = """
+WITH
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl)
+SELECT t.doc_id,
+       floor(sum(
+         (ln(1.0 + (n - df + 0.5) / (df + 0.5))
+          * tf * 2.2
+          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl)))
+         * (CASE WHEN term IN ('merge', 'batch') THEN 0.5 ELSE 1.0 END)
+       ) * 10000.0 + 0.5)::BIGINT AS score_e4,
+       count(*)::BIGINT AS n_hit
+FROM tf t
+JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+WHERE term IN ('spark', 'join', 'stream', 'merge', 'batch')
+GROUP BY t.doc_id
+"""
+
+
+@_reg("q_synonym_search", _SQL_SYNONYM)
+def q_synonym_search(spark, sf_dir):
+    from .operators.search import bm25_term_score, expand_synonyms
+
+    terms, boosts = expand_synonyms(
+        QT, {"join": ["merge"], "stream": ["batch"]}, weight=0.5
+    )
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    weight = (
+        F.when(F.col("term").isin(
+            [t for t, b in boosts.items() if b != 1.0]
+        ), F.lit(0.5))
+        .otherwise(F.lit(1.0))
+    )
+    return (
+        tf.filter(F.col("term").isin(terms))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx.filter(F.col("term").isin(terms))), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w * weight) * 10000.0 + F.lit(0.5)).cast("long")
+            .alias("score_e4"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+        .select("doc_id", "score_e4", "n_hit")
+    )
+
+
 # -- per-site facet counts of the match set ("N results from site X" —
 #    the search-results sidebar; beyond-reference). Production forms:
 #    operators.search.search_facets (relational) and
@@ -1783,6 +1856,7 @@ _PRIORITY = [
     # wildcard retrieval, SymSpell fuzzy suggestion, more-like-this,
     # link graph, anchor indexing) — must receive a correctness row
     "q_search_collapsed", "q_search_facets", "q_boosted_search",
+    "q_synonym_search",
     "q_more_like_this", "q_corrected_search", "q_bm25f_title",
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
     "q_static_rank_blend", "q_anchor_bm25", "q_hits",

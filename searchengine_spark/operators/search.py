@@ -131,6 +131,7 @@ def _search_candidates(
     conjunctive: bool = True,
     constants: tuple[int, float] | None = None,
     boosts: dict[str, float] | None = None,
+    lemmas: list[str] | None = None,
 ) -> DataFrame:
     """Scored + conjunctively-filtered candidates (url, doc_id, score)
     with NO ordering — the shared frame under both search() (which adds
@@ -142,13 +143,18 @@ def _search_candidates(
     `boosts` {lemma: weight>0}: per-term query boosts (Lucene term^w) —
     each boosted term's BM25 contribution scales by its weight before
     the per-doc sum. bm25 mode only (legacy sum/max is a tf ratio).
-    Parse user "term^2.5" syntax with parse_boosted_query."""
+    Parse user "term^2.5" syntax with parse_boosted_query.
+
+    `lemmas`: pre-analyzed query lemmas, overriding lemmatize_query —
+    machine-expanded term lists (synonym expansion, more-like-this)
+    must not re-lemmatize."""
     if boosts:
         if mode != "bm25":
             raise ValueError("boosts are bm25-mode only")
         if any(w <= 0 for w in boosts.values()):
             raise ValueError(f"boost weights must be > 0: {boosts}")
-    lemmas = lemmatize_query(query)
+    if lemmas is None:
+        lemmas = lemmatize_query(query)
     # Site filter restricts CANDIDATES only; corpus statistics (N,
     # avgdl, df) stay global — filtered retrieval must not change term
     # weights. (The reference's per-site lemma table differs; this is
@@ -309,6 +315,74 @@ def search_with_snippets(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def expand_synonyms(
+    lemmas: list[str],
+    synonyms: dict[str, list[str]],
+    weight: float = 0.5,
+) -> tuple[list[str], dict[str, float]]:
+    """Query-time synonym expansion (the classic OR-expansion-with-
+    discount): each query lemma pulls in its synonym lemmas at reduced
+    weight → (expanded lemma list, {lemma: boost}). Originals keep
+    weight 1.0 and always win over a synonym mapping of themselves;
+    a lemma synonym to two originals keeps one discounted slot.
+    `synonyms` keys and values are LEMMAS (run the dictionary through
+    the analyzer offline). Retrieval over the expansion is DISJUNCTIVE
+    by construction — a conjunctive query would demand every synonym,
+    which is the opposite of expansion; use the boolean engine
+    ((a OR syn_a) AND (b OR syn_b)) when AND semantics must survive."""
+    if not (0.0 < weight <= 1.0):
+        raise ValueError(f"synonym weight must be in (0, 1] (got {weight})")
+    out = list(lemmas)
+    boosts: dict[str, float] = {t: 1.0 for t in lemmas}
+    for t in lemmas:
+        for s in synonyms.get(t, ()):
+            if s not in boosts:
+                out.append(s)
+                boosts[s] = weight
+    return out, boosts
+
+
+def search_with_synonyms(
+    spark,
+    index: IndexTables,
+    query: str,
+    synonyms: dict[str, list[str]],
+    weight: float = 0.5,
+    k: int = 20,
+    offset: int = 0,
+    constants: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Synonym-expanded disjunctive BM25 search → DataFrame(url,
+    doc_id, score): the query's lemmas plus their synonyms, synonym
+    contributions discounted by `weight` (expand_synonyms), scored by
+    the ordinary boosted candidate frame. Relational spec twin of the
+    packed path (search_packed_fused(lemmas=…, boosts=…) with
+    conjunctive=False serves the same expansion from the segments;
+    contract q_synonym_search is the DuckDB oracle)."""
+    if k < 0 or offset < 0:
+        raise ValueError(f"k and offset must be >= 0 (got k={k}, offset={offset})")
+    if offset > MAX_OFFSET:
+        raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
+    lemmas, boosts = expand_synonyms(
+        lemmatize_query(query), synonyms, weight
+    )
+    cand = _search_candidates(
+        spark, index, query, conjunctive=False, constants=constants,
+        boosts=boosts, lemmas=lemmas,
+    )
+    out = (
+        cand.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(offset + k)
+    )
+    if offset:
+        sliced = out.collect()[offset:]
+        return (
+            spark.createDataFrame(sliced, out.schema)
+            if sliced else _empty_results(spark)
+        )
+    return out
 
 
 def search_collapsed(

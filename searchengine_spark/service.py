@@ -128,18 +128,26 @@ class SearchService:
                limit: int = 20, snippets: bool = False, mode: str = "bm25",
                conjunctive: bool = True, blend: float | None = None,
                oversample: int = 4, correct: bool = False,
-               collapse: int | None = None) -> dict:
+               collapse: int | None = None,
+               synonyms: dict | None = None,
+               synonym_weight: float = 0.5) -> dict:
+        syn_key = (
+            tuple(sorted((k, tuple(v)) for k, v in synonyms.items()))
+            if synonyms else None
+        )
         return self._cached(
             # oversample only affects blended requests — keep it out of
             # the key otherwise so identical responses share one slot
             ("search", query, site, offset, limit, snippets, mode,
              conjunctive, blend,
-             oversample if blend is not None else None, correct, collapse),
+             oversample if blend is not None else None, correct, collapse,
+             syn_key, synonym_weight if synonyms else None),
             lambda: self._search_uncached(
                 query, site=site, offset=offset, limit=limit,
                 snippets=snippets, mode=mode, conjunctive=conjunctive,
                 blend=blend, oversample=oversample, correct=correct,
-                collapse=collapse),
+                collapse=collapse, synonyms=synonyms,
+                synonym_weight=synonym_weight),
         )
 
     def facets(self, query: str, top: int = 10,
@@ -231,6 +239,8 @@ class SearchService:
         oversample: int = 4,
         correct: bool = False,
         collapse: int | None = None,
+        synonyms: dict | None = None,
+        synonym_weight: float = 0.5,
     ) -> dict:
         """SearchResponse dict: {result, count, data:[{site, uri, url,
         doc_id, title, relevance[, snippet]}]}. `count` is the
@@ -291,6 +301,23 @@ class SearchService:
         corrections: dict[str, str] = {}
         if correct:
             q_lemmas, corrections = self._correct_lemmas(q_lemmas)
+        if synonyms:
+            # OR-expansion-with-discount (operators.search
+            # .expand_synonyms): synonym lemmas join the query at
+            # synonym_weight; disjunctive by construction
+            if conjunctive:
+                raise ValueError(
+                    "synonym expansion is disjunctive — pass "
+                    "conjunctive=False (AND semantics: use boolean())"
+                )
+            if mode != "bm25":
+                raise ValueError("synonym expansion needs bm25 mode")
+            from .operators.search import expand_synonyms
+
+            q_lemmas, syn_boosts = expand_synonyms(
+                q_lemmas, synonyms, synonym_weight
+            )
+            boosts = {**syn_boosts, **(boosts or {})}
         k_fetch = limit if blend is None else oversample * (offset + limit)
         hits, count = search_packed_fused(
             self.spark, self.segments, self.term_stats, self.n_docs,
