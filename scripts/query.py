@@ -44,6 +44,13 @@ def main() -> None:
                          "<index>/staticrank from build_index.py "
                          "--static-rank); serves through the warm "
                          "SearchService path")
+    ap.add_argument("--collapse", type=int, default=None, metavar="N",
+                    help="host collapsing: at most N results per site "
+                         "(packed mode; 'term^2.5' boost syntax works "
+                         "in any bm25 query)")
+    ap.add_argument("--facets", action="store_true",
+                    help="print per-site facet counts of the match set "
+                         "instead of ranked results")
     args = ap.parse_args()
 
     from searchengine_spark.index.wand import search_packed
@@ -106,12 +113,27 @@ def main() -> None:
             spark, segments, idx.term_stats, n_docs, avgdl, args.query,
             k=args.k,
         )
+    elif args.facets:
+        from searchengine_spark.index.wand import facet_counts_packed
+
+        segments = spark.read.parquet(f"{args.index}/segments")
+        out = facet_counts_packed(
+            spark, segments, idx.term_stats, idx.doc_stats, n_docs,
+            args.query, conjunctive=not args.disjunctive, top=args.k,
+        )
     elif args.mode == "packed":
+        from searchengine_spark.operators.search import parse_boosted_query
+
+        boosts = None
+        if "^" in args.query:
+            args.query, parsed = parse_boosted_query(args.query)
+            boosts = parsed or None
         segments = spark.read.parquet(f"{args.index}/segments")
         out = search_packed(
             spark, segments, idx.term_stats, n_docs, avgdl, args.query,
             k=args.k, conjunctive=not args.disjunctive, mode=args.scoring,
             site=args.site, offset=args.offset, doc_stats=idx.doc_stats,
+            collapse_n=args.collapse, boosts=boosts,
         )
     else:
         out = search(

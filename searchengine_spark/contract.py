@@ -446,6 +446,80 @@ def q_boosted_search(spark, sf_dir):
     )
 
 
+# -- cursor pagination (search_after, beyond-reference — the constant-cost
+#    deep-pagination shape; offset materializes offset+k rows and is bounded
+#    by MAX_OFFSET). Page 2 of the disjunctive BM25 ranking: rows strictly
+#    after the 10th row's (score_e4, doc_id) cursor. Production forms:
+#    operators.search.search(after=…) and index.wand search_packed(after=…)
+#    with the exact-sample-totals θ-seed (_theta_seed_after);
+#    tests/test_search_after.py pins page-walk ≡ full-ranking identity. ----
+_SQL_AFTER = f"""
+WITH {_SQL_TOK},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n, avg(doclen) AS avgdl FROM dl),
+sc AS (
+  SELECT t.doc_id,
+         floor(sum(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * tf * 2.2
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen / avgdl))
+         ) * 10000.0 + 0.5)::BIGINT AS score_e4
+  FROM tf t
+  JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN stats
+  WHERE term IN {QT_SQL}
+  GROUP BY t.doc_id
+),
+cur AS (
+  SELECT score_e4 AS cs, doc_id AS cd FROM sc
+  ORDER BY score_e4 DESC, doc_id LIMIT 1 OFFSET 9
+)
+SELECT s.doc_id, s.score_e4
+FROM sc s, cur
+WHERE s.score_e4 < cs OR (s.score_e4 = cs AND s.doc_id > cd)
+ORDER BY s.score_e4 DESC, s.doc_id LIMIT 20
+"""
+
+
+@_reg("q_search_after", _SQL_AFTER)
+def q_search_after(spark, sf_dir):
+    from .operators.search import bm25_term_score
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dl = (
+        _tokens(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"))
+    w = bm25_term_score(
+        tf=F.col("tf"), df=F.col("df"), doclen=F.col("doclen"),
+        n_docs=F.col("n"), avgdl=F.col("avgdl"),
+    )
+    sc = (
+        tf.filter(F.col("term").isin(QT))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfx.filter(F.col("term").isin(QT))), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(w) * 10000.0 + F.lit(0.5)).cast("long")
+            .alias("score_e4"),
+        )
+    )
+    cur = sc.orderBy(F.desc("score_e4"), F.asc("doc_id")).limit(10).collect()
+    cs, cd = int(cur[-1]["score_e4"]), int(cur[-1]["doc_id"])
+    return (
+        sc.filter(
+            (F.col("score_e4") < F.lit(cs))
+            | ((F.col("score_e4") == F.lit(cs)) & (F.col("doc_id") > F.lit(cd)))
+        )
+        .orderBy(F.desc("score_e4"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "score_e4")
+    )
+
+
 # -- query-time synonym expansion (OR-expansion-with-discount, beyond-
 #    reference): the query's terms plus their synonym lemmas, synonym
 #    contributions discounted ×0.5. Production forms:
@@ -1856,7 +1930,7 @@ _PRIORITY = [
     # wildcard retrieval, SymSpell fuzzy suggestion, more-like-this,
     # link graph, anchor indexing) — must receive a correctness row
     "q_search_collapsed", "q_search_facets", "q_boosted_search",
-    "q_synonym_search",
+    "q_synonym_search", "q_search_after",
     "q_more_like_this", "q_corrected_search", "q_bm25f_title",
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
     "q_static_rank_blend", "q_anchor_bm25", "q_hits",

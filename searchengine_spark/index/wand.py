@@ -376,6 +376,57 @@ def _theta_seed(
     return float(np.partition(scores, -k)[-k])
 
 
+def _after_mask(
+    scores: np.ndarray, ids: np.ndarray, after: tuple[float, int]
+) -> np.ndarray:
+    """Keep-mask for cursor pagination: rows strictly AFTER the cursor
+    (score, doc_id) in the total order (score desc, doc_id asc)."""
+    cs, cd = after
+    return (scores < cs) | ((scores == cs) & (ids > cd))
+
+
+def _theta_seed_after(
+    lists: list["_TermList"], shortest: "_TermList", k: int,
+    after: tuple[float, int], allowed: np.ndarray | None,
+    excluded: np.ndarray | None,
+) -> float:
+    """θ-seed for CURSOR pages: the plain seed is unsound here — a
+    sample doc's single-term score lower-bounds its TOTAL, but a high
+    total may sit BEFORE the cursor (already served), telling us
+    nothing about the after-cursor top-k. So this seed computes EXACT
+    totals for the bounded sample (≤ SEED_BLOCKS·BLOCK ids from the
+    shortest list's best blocks; lookups decode only touched blocks of
+    the other lists), filters to after-cursor rows, and returns their
+    k-th best total. Soundness: any doc with total < θ is outranked by
+    ≥ k after-cursor docs (strict score inequality — doc_id ties
+    irrelevant), so it cannot reach the after-cursor top-k; a weaker
+    (subset) sample only lowers θ."""
+    if k <= 0:
+        return 0.0
+    nb = len(shortest.block_last)
+    if nb == 0:
+        return 0.0
+    pool = [
+        shortest.block_ids(int(b))
+        for b in np.argsort(-shortest.block_max)[:SEED_BLOCKS]
+    ]
+    ids = np.unique(np.concatenate(pool)) if pool else np.empty(0, np.int64)
+    if allowed is not None and len(ids):
+        ids = _intersect_sorted(ids, allowed)
+    if excluded is not None and len(ids):
+        ids = _setdiff_sorted(ids, excluded)
+    if len(ids) == 0:
+        return 0.0
+    totals = np.zeros(len(ids), dtype=np.float64)
+    for t in lists:
+        sc, _ = t.lookup(ids)
+        totals += sc
+    totals = totals[_after_mask(totals, ids, after)]
+    if len(totals) <= k:
+        return 0.0
+    return float(np.partition(totals, -k)[-k])
+
+
 def _sparse_max_table(vals: np.ndarray) -> list[np.ndarray]:
     """Sparse table for O(1) range-max queries: level l holds the max
     over every length-2^l window, so table[l][i] = max(vals[i:i+2^l]).
@@ -588,8 +639,17 @@ def wand_shard_topk(
     excluded: np.ndarray | None = None,
     collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
     boosts: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """One shard's segments (all query terms) → shard-local top-k.
+
+    `after` = (score, doc_id): cursor pagination (search_after) — only
+    rows strictly after the cursor in the total order (score desc,
+    doc_id asc) are returned; the disjunctive θ is seeded by
+    _theta_seed_after (exact sample totals, after-filtered — the plain
+    single-term-score seed is unsound under a cursor, see there).
+    Unsupported with collapse (an exact collapsed cursor needs
+    per-site consumption state from earlier pages).
     mode="legacy" scores sum(tf)/max(tf) (reference A3) — block-max
     pruning is disabled there (the block annotations bound BM25, not
     tf ratios); candidates are scored exhaustively.
@@ -616,6 +676,8 @@ def wand_shard_topk(
     delete-old-postings step, IndexingService.java:152, served without
     a rebuild). Subtracted from candidates before scoring; θ may only
     be seeded by servable docs (see _theta_seed)."""
+    if after is not None and collapse is not None:
+        raise ValueError("search_after and collapse cannot combine")
     if allowed is not None and len(allowed) == 0:
         return _empty_finalize(k, collapse)
     lists = [
@@ -660,6 +722,9 @@ def wand_shard_topk(
         if mode == "legacy":
             scores = scores / maxs  # sum(rank)/max(rank), A3
         n_hit = np.full(len(cand), len(lists), dtype=np.int64)
+        if after is not None:
+            keep = _after_mask(scores, cand, after)
+            cand, scores, n_hit = cand[keep], scores[keep], n_hit[keep]
         return _finalize(cand, scores, n_hit, k, collapse)
 
     # disjunctive: essential-list cut + aligned block-max pruning
@@ -667,10 +732,13 @@ def wand_shard_topk(
     # (legacy mode: no sound block bound for sum/max → no pruning)
     shortest = min(lists, key=lambda t: t.n)
     k_seed = k if collapse is None else k * collapse[0]
-    theta = (
-        _theta_seed(shortest, k_seed, allowed, excluded, collapse)
-        if mode == "bm25" else 0.0
-    )
+    if mode != "bm25":
+        theta = 0.0
+    elif after is not None:
+        theta = _theta_seed_after(lists, shortest, k, after,
+                                  allowed, excluded)
+    else:
+        theta = _theta_seed(shortest, k_seed, allowed, excluded, collapse)
     cand = _disjunctive_candidates(lists, theta)
     if len(cand) == 0:
         return _empty_finalize(k, collapse)
@@ -691,6 +759,9 @@ def wand_shard_topk(
     if mode == "legacy":
         scores = np.divide(scores, maxs, out=np.zeros_like(scores),
                            where=maxs > 0)
+    if after is not None:
+        keep = _after_mask(scores, cand, after)
+        cand, scores, n_hit = cand[keep], scores[keep], n_hit[keep]
     return _finalize(cand, scores, n_hit, k, collapse)
 
 
@@ -1282,8 +1353,22 @@ def search_packed(
     collapse_n: int | None = None,
     site_map: DataFrame | None = None,
     boosts: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k over the packed index → DataFrame(doc_id, score).
+
+    `after` = (score, doc_id) of the last row of the previous page:
+    CURSOR pagination (the Elasticsearch search_after shape) — returns
+    the top-k rows strictly after the cursor in the total order (score
+    desc, doc_id asc). Unlike `offset` (bounded by MAX_OFFSET because
+    it materializes offset+k rows), a cursor walks arbitrarily deep at
+    constant per-page cost: each shard's kernel filters scored
+    candidates by the cursor and still returns ≤ k rows, with θ seeded
+    from exact after-filtered sample totals (_theta_seed_after).
+    Cursors are PATH-LOCAL: scores are reproduced bit-identically by
+    the same engine path, but packed vs relational floats may differ
+    in the last ulp — don't feed one path's cursor to the other.
+    Mutually exclusive with `offset` and `collapse_n`.
 
     `collapse_n` (+ `site_map`/`doc_stats`): per-site result
     diversification — at most collapse_n results per site. Delegates
@@ -1335,6 +1420,10 @@ def search_packed(
         raise ValueError(
             f"boosts need bm25 mode and weights > 0 (mode={mode}, {boosts})"
         )
+    if after is not None and (offset or collapse_n is not None):
+        raise ValueError(
+            "search_after replaces offset and cannot combine with collapse"
+        )
     if collapse_n is not None:
         hits, _ = search_packed_fused(
             spark, segments, term_stats, n_docs, avgdl, query, k=k,
@@ -1367,7 +1456,8 @@ def search_packed(
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: wand_shard_topk(pdf, n_docs, avgdl, k_eff,
                                         conjunctive, n_terms, mode,
-                                        excluded=exc, boosts=boosts),
+                                        excluded=exc, boosts=boosts,
+                                        after=after),
             schema=TOPK_OUT_SCHEMA,
         )
     else:
@@ -1393,7 +1483,7 @@ def search_packed(
             return wand_shard_topk(seg_pdf, n_docs, avgdl, k_eff,
                                    conjunctive, n_terms, mode,
                                    allowed=allowed, excluded=exc,
-                                   boosts=boosts)
+                                   boosts=boosts, after=after)
 
         per_shard = (
             seg.groupby("shard")

@@ -251,21 +251,37 @@ def search(
     conjunctive: bool = True,
     constants: tuple[int, float] | None = None,
     boosts: dict[str, float] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k search → DataFrame(url, doc_id, score) ordered by
     (score desc, url asc), sliced [offset, offset+k).
     `boosts` {lemma: weight}: per-term query boosts (see
-    _search_candidates / parse_boosted_query)."""
+    _search_candidates / parse_boosted_query).
+    `after` = (score, doc_id): cursor pagination — the top-k rows
+    strictly after the cursor in the total order; replaces `offset`
+    (which materializes offset+k rows and is bounded by MAX_OFFSET —
+    the docstring's named deep-pagination fix IS this cursor). Scores
+    are reproduced deterministically by the same plan, so a cursor
+    taken from this path's previous page filters exactly; don't mix
+    with packed-path cursors (last-ulp float differences)."""
     if k < 0 or offset < 0:
         raise ValueError(f"k and offset must be >= 0 (got k={k}, offset={offset})")
     if offset > MAX_OFFSET:
         # the offset slice materializes offset+k rows on the driver —
-        # deep pagination should re-query with a score cursor instead
+        # deep pagination: use `after` (score cursor) instead
         raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
+    if after is not None and offset:
+        raise ValueError("search_after replaces offset — pass one")
     cand = _search_candidates(
         spark, index, query, site=site, mode=mode, conjunctive=conjunctive,
         constants=constants, boosts=boosts,
     )
+    if after is not None:
+        cs, cd = float(after[0]), int(after[1])
+        cand = cand.filter(
+            (F.col("score") < F.lit(cs))
+            | ((F.col("score") == F.lit(cs)) & (F.col("doc_id") > F.lit(cd)))
+        )
     # deterministic total order: (score desc, doc_id asc) — the same
     # tie-break the packed/WAND path and the oracle use (rank-identity)
     out = cand.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,207 @@
+"""Cursor pagination (search_after): kernel page-walk ≡ full ranking
+(hypothesis, incl. the exact-sample-totals θ-seed soundness), packed
+and relational page walks reconstruct their own full rankings, and the
+validation surface."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.index.segments import _pack_group, build_segments, write_segments
+from searchengine_spark.index.wand import search_packed, wand_shard_topk
+from searchengine_spark.operators import postings as P
+from searchengine_spark.operators import search as S
+
+# ---------------------------------------------------------------------------
+# kernel-level (no Spark session — fast)
+# ---------------------------------------------------------------------------
+
+
+def _mk_group(rng, term, n_postings, n_docs):
+    ids = rng.choice(n_docs * 10, size=n_postings, replace=False).astype(
+        np.int64
+    )
+    return pd.DataFrame(
+        {
+            "term": term,
+            "shard": 0,
+            "doc_id": ids,
+            "tf": rng.randint(1, 20, n_postings).astype(np.int64),
+            "doclen": rng.randint(20, 200, n_postings).astype(np.int64),
+            "df": n_postings,
+        }
+    )
+
+
+def _rows(frame, conjunctive, nt):
+    if conjunctive:
+        frame = frame[frame["n_hit"] == nt]
+    return sorted(
+        zip(frame["score"].tolist(), frame["doc_id"].tolist()),
+        key=lambda t: (-t[0], t[1]),
+    )
+
+
+@given(st.integers(0, 10_000), st.booleans(), st.integers(1, 3),
+       st.integers(1, 8))
+@settings(max_examples=60, deadline=None)
+def test_wand_cursor_walk_equals_full_ranking(seed, conjunctive, nt, k):
+    """Walking the whole result set page-by-page through `after`
+    cursors reproduces the single-shot full ranking EXACTLY — if the
+    after-aware θ-seed ever inflated θ above a valid after-cursor doc,
+    some page would silently lose it and the walk would diverge."""
+    rng = np.random.RandomState(seed)
+    n_docs, avgdl = 300, 80.0
+    groups = [
+        _mk_group(rng, f"t{i}", int(rng.randint(5, 150)), n_docs)
+        for i in range(nt)
+    ]
+    pdf = pd.concat(
+        [_pack_group(g, n_docs, avgdl, 0) for g in groups],
+        ignore_index=True,
+    )
+    full = _rows(
+        wand_shard_topk(pdf, n_docs, avgdl, 10_000, conjunctive, nt),
+        conjunctive, nt,
+    )
+    walked, cursor = [], None
+    for _ in range(1000):
+        page = _rows(
+            wand_shard_topk(pdf, n_docs, avgdl, k, conjunctive, nt,
+                            after=cursor),
+            conjunctive, nt,
+        )[:k]
+        if not page:
+            break
+        walked.extend(page)
+        cursor = (page[-1][0], page[-1][1])
+    assert [d for _, d in walked] == [d for _, d in full]
+    for (ws, _), (fs, _) in zip(walked, full):
+        assert ws == fs  # bit-identical scores page over page
+
+
+def test_wand_cursor_with_deny_list():
+    rng = np.random.RandomState(5)
+    n_docs, avgdl = 300, 80.0
+    groups = [_mk_group(rng, f"t{i}", 120, n_docs) for i in range(2)]
+    pdf = pd.concat(
+        [_pack_group(g, n_docs, avgdl, 0) for g in groups],
+        ignore_index=True,
+    )
+    full = _rows(
+        wand_shard_topk(pdf, n_docs, avgdl, 10_000, False, 2), False, 2
+    )
+    excluded = np.sort(np.array([d for _, d in full[::3]], dtype=np.int64))
+    expect = [(s, d) for s, d in full if d not in set(excluded.tolist())]
+    walked, cursor = [], None
+    while True:
+        page = _rows(
+            wand_shard_topk(pdf, n_docs, avgdl, 7, False, 2,
+                            excluded=excluded, after=cursor),
+            False, 2,
+        )[:7]
+        if not page:
+            break
+        walked.extend(page)
+        cursor = (page[-1][0], page[-1][1])
+    assert walked == expect
+
+
+def test_cursor_collapse_mutually_exclusive():
+    rng = np.random.RandomState(1)
+    g = _mk_group(rng, "t0", 30, 300)
+    pdf = _pack_group(g, 300, 80.0, 0)
+    with pytest.raises(ValueError, match="collapse"):
+        wand_shard_topk(
+            pdf, 300, 80.0, 5, False, 1, after=(1.0, 0),
+            collapse=(2, np.array([], np.int64), np.array([], np.int64)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Spark-level
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus_small):
+    tabs = P.build_index(corpus_small, use_html=True)
+    for t in (tabs.postings, tabs.term_stats, tabs.doc_stats):
+        t.cache().count()
+    return tabs
+
+
+@pytest.fixture(scope="module")
+def constants(index):
+    return S.corpus_constants(index.doc_stats)
+
+
+@pytest.fixture(scope="module")
+def segments(spark, index, constants, tmp_path_factory):
+    n, avgdl = constants
+    seg = build_segments(index, n, avgdl, n_shards=4)
+    path = str(tmp_path_factory.mktemp("aseg") / "index_segments")
+    write_segments(seg, path)
+    df = spark.read.parquet(path).cache()
+    df.count()
+    return df
+
+
+def test_packed_cursor_pages_slice_full_ranking(
+    spark, index, segments, constants
+):
+    n, avgdl = constants
+    full = search_packed(
+        spark, segments, index.term_stats, n, avgdl, "поиск", k=15,
+        conjunctive=False,
+    ).collect()
+    assert len(full) == 15
+    p1 = full[:5]
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = search_packed(
+        spark, segments, index.term_stats, n, avgdl, "поиск", k=5,
+        conjunctive=False, after=cursor,
+    ).collect()
+    assert [r["doc_id"] for r in p2] == [r["doc_id"] for r in full[5:10]]
+    assert [r["score"] for r in p2] == [r["score"] for r in full[5:10]]
+    # cursor past the end → empty, no exception
+    tail = full[-1]
+    beyond = search_packed(
+        spark, segments, index.term_stats, n, avgdl, "поиск", k=5,
+        conjunctive=False,
+        after=(-1e18, 0),
+    ).count()
+    assert beyond == 0
+    assert tail is not None
+
+
+def test_relational_cursor_matches_offset(spark, index, constants):
+    full = S.search(
+        spark, index, "запрос страница", k=12, conjunctive=False,
+        constants=constants,
+    ).collect()
+    cursor = (full[3]["score"], full[3]["doc_id"])
+    page = S.search(
+        spark, index, "запрос страница", k=4, conjunctive=False,
+        constants=constants, after=cursor,
+    ).collect()
+    assert [r["doc_id"] for r in page] == [r["doc_id"] for r in full[4:8]]
+
+
+def test_cursor_validation(spark, index, segments, constants):
+    n, avgdl = constants
+    with pytest.raises(ValueError, match="search_after"):
+        S.search(spark, index, "поиск", offset=5, after=(1.0, 0),
+                 constants=constants)
+    with pytest.raises(ValueError, match="search_after"):
+        search_packed(
+            spark, segments, index.term_stats, n, avgdl, "поиск",
+            offset=5, after=(1.0, 0),
+        )
+    with pytest.raises(ValueError, match="search_after"):
+        search_packed(
+            spark, segments, index.term_stats, n, avgdl, "поиск",
+            collapse_n=2, after=(1.0, 0), doc_stats=index.doc_stats,
+        )
