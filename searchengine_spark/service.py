@@ -130,7 +130,8 @@ class SearchService:
                oversample: int = 4, correct: bool = False,
                collapse: int | None = None,
                synonyms: dict | None = None,
-               synonym_weight: float = 0.5) -> dict:
+               synonym_weight: float = 0.5,
+               after: tuple | None = None) -> dict:
         syn_key = (
             tuple(sorted((k, tuple(v)) for k, v in synonyms.items()))
             if synonyms else None
@@ -141,13 +142,14 @@ class SearchService:
             ("search", query, site, offset, limit, snippets, mode,
              conjunctive, blend,
              oversample if blend is not None else None, correct, collapse,
-             syn_key, synonym_weight if synonyms else None),
+             syn_key, synonym_weight if synonyms else None,
+             tuple(after) if after else None),
             lambda: self._search_uncached(
                 query, site=site, offset=offset, limit=limit,
                 snippets=snippets, mode=mode, conjunctive=conjunctive,
                 blend=blend, oversample=oversample, correct=correct,
                 collapse=collapse, synonyms=synonyms,
-                synonym_weight=synonym_weight),
+                synonym_weight=synonym_weight, after=after),
         )
 
     def facets(self, query: str, top: int = 10,
@@ -241,6 +243,7 @@ class SearchService:
         collapse: int | None = None,
         synonyms: dict | None = None,
         synonym_weight: float = 0.5,
+        after: tuple | None = None,
     ) -> dict:
         """SearchResponse dict: {result, count, data:[{site, uri, url,
         doc_id, title, relevance[, snippet]}]}. `count` is the
@@ -284,6 +287,16 @@ class SearchService:
             )
         if collapse is not None and blend is not None:
             raise ValueError("collapse and blend cannot combine")
+        if after is not None and (
+            offset or blend is not None or collapse is not None
+            or correct or synonyms
+        ):
+            raise ValueError(
+                "search_after replaces offset and cannot combine with "
+                "blend, collapse, correct, or synonyms (cursor pages "
+                "re-analyze the query verbatim — a rewritten term set "
+                "would silently change the ranking under the cursor)"
+            )
         from .operators.search import lemmatize_query, parse_boosted_query
 
         boosts = None
@@ -319,17 +332,45 @@ class SearchService:
             )
             boosts = {**syn_boosts, **(boosts or {})}
         k_fetch = limit if blend is None else oversample * (offset + limit)
-        hits, count = search_packed_fused(
-            self.spark, self.segments, self.term_stats, self.n_docs,
-            self.avgdl, query, lemmas=q_lemmas, k=k_fetch,
-            offset=offset if blend is None else 0, site=site,
-            mode=mode, conjunctive=conjunctive, df_map=self.df_map,
-            doc_stats=self.serve_meta, n_shards=self.n_shards,
-            excluded_doc_ids=self.tombstoned,
-            collapse_n=collapse,
-            site_map=self._get_site_map() if collapse is not None else None,
-            boosts=boosts,
-        )
+        if after is not None:
+            # cursor page (search_after, item 31): the ranked page
+            # comes from the cursor-aware WAND kernel; the count is
+            # cursor-INDEPENDENT (same total as page 1), so deep pages
+            # pay one top-k kernel + one count kernel — only page-1
+            # requests get the fused single-pass
+            from .index.wand import match_count_packed, search_packed
+
+            cur = (float(after[0]), int(after[1]))
+            rows = search_packed(
+                self.spark, self.segments, self.term_stats, self.n_docs,
+                self.avgdl, query, k=limit, site=site, mode=mode,
+                conjunctive=conjunctive, df_map=self.df_map,
+                doc_stats=self.serve_meta, n_shards=self.n_shards,
+                excluded_doc_ids=self.tombstoned, boosts=boosts,
+                after=cur,
+            ).collect()
+            hits = [(r["doc_id"], r["score"]) for r in rows]
+            count = match_count_packed(
+                self.spark, self.segments, self.term_stats, self.n_docs,
+                query, conjunctive=conjunctive, site=site,
+                df_map=self.df_map, doc_stats=self.serve_meta,
+                n_shards=self.n_shards,
+                excluded_doc_ids=self.tombstoned,
+            )
+        else:
+            hits, count = search_packed_fused(
+                self.spark, self.segments, self.term_stats, self.n_docs,
+                self.avgdl, query, lemmas=q_lemmas, k=k_fetch,
+                offset=offset if blend is None else 0, site=site,
+                mode=mode, conjunctive=conjunctive, df_map=self.df_map,
+                doc_stats=self.serve_meta, n_shards=self.n_shards,
+                excluded_doc_ids=self.tombstoned,
+                collapse_n=collapse,
+                site_map=(
+                    self._get_site_map() if collapse is not None else None
+                ),
+                boosts=boosts,
+            )
         parts = None
         if blend is not None:
             reranked = self._blend_hits(hits, blend)[offset:offset + limit]

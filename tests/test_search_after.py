@@ -205,3 +205,45 @@ def test_cursor_validation(spark, index, segments, constants):
             spark, segments, index.term_stats, n, avgdl, "поиск",
             collapse_n=2, after=(1.0, 0), doc_stats=index.doc_stats,
         )
+
+
+def test_service_search_after(spark, tmp_path_factory):
+    """Service cursor pages: page2(after=page1 cursor) ≡ rows [5,10) of
+    the full ranking; count stays the page-1 total; invalid combos
+    rejected."""
+    from searchengine_spark.operators.postings import (
+        build_index, prepare_docs, write_index,
+    )
+    from searchengine_spark.service import SearchService
+    from searchengine_spark.sources.corpus import corpus_df
+
+    base = str(tmp_path_factory.mktemp("aftersvc") / "index")
+    docs = corpus_df(spark, 150)
+    idx = build_index(docs, use_html=True)
+    write_index(idx, f"{base}/idx")
+    n, avgdl = S.corpus_constants(idx.doc_stats)
+    seg = build_segments(idx, n, avgdl, n_shards=4)
+    write_segments(seg, f"{base}/segments")
+    svc = SearchService(
+        spark, base,
+        docs_text=prepare_docs(docs, use_html=True).select("doc_id", "text"),
+    )
+    try:
+        full = svc.search("быстрый поиск", conjunctive=False, limit=10)
+        p1 = full["data"][:5]
+        cursor = (p1[-1]["relevance"], p1[-1]["doc_id"])
+        p2 = svc.search("быстрый поиск", conjunctive=False, limit=5,
+                        after=cursor)
+        assert [d["doc_id"] for d in p2["data"]] == [
+            d["doc_id"] for d in full["data"][5:10]
+        ]
+        assert p2["count"] == full["count"]
+        for bad in (
+            dict(offset=5), dict(blend=1.0), dict(collapse=1),
+            dict(correct=True),
+        ):
+            with pytest.raises(ValueError, match="search_after"):
+                svc.search("быстрый", conjunctive=False,
+                           after=cursor, **bad)
+    finally:
+        svc.close()

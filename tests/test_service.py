@@ -353,25 +353,31 @@ def test_response_cache_bounded(spark, served):
 
 def test_search_collapse_per_site(spark, served):
     """collapse=n serves at most n hits per site; result order equals
-    the relational collapsed spec; count stays the uncollapsed total;
-    the site map is built once per index generation."""
-    from searchengine_spark.operators.search import search_collapsed
-
+    the per-site cap applied client-side to the service's OWN plain
+    ranking (earlier tests mutate the shared serving state — deltas +
+    tombstones — so the pristine relational index is NOT the spec
+    here); count stays the uncollapsed total; the site map is built
+    once per index generation."""
     svc, idx, constants = served
     q = "быстрый поиск"
     resp = svc.search(q, limit=10, collapse=1, conjunctive=False)
     # count is the UNCOLLAPSED match total — identical to the plain
     # (non-collapsed) response's count
-    assert resp["count"] == svc.search(q, conjunctive=False)["count"]
+    plain = svc.search(q, conjunctive=False, limit=500)
+    assert resp["count"] == plain["count"]
     assert resp["count"] > len(resp["data"])
     sites = [d["site"] for d in resp["data"]]
     assert len(sites) == len(set(sites))  # n=1 ⇒ all distinct
-    want = search_collapsed(
-        spark, idx, q, 1, k=10, conjunctive=False, constants=constants
-    ).collect()
-    assert [d["doc_id"] for d in resp["data"]] == [
-        r["doc_id"] for r in want
-    ]
+    # spec: cap the service's own full ranking at 1/site, cut to 10
+    seen: set = set()
+    want = []
+    for d in plain["data"]:
+        if d["site"] not in seen:
+            seen.add(d["site"])
+            want.append(d["doc_id"])
+            if len(want) == 10:
+                break
+    assert [d["doc_id"] for d in resp["data"]] == want
     # cached map reused across requests...
     m1 = svc._get_site_map()
     svc.search(q, limit=5, collapse=2, conjunctive=False)
