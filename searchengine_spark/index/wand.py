@@ -1038,6 +1038,7 @@ def search_packed_metrics(
     doc_stats: DataFrame | None = None,
     n_shards: int | None = None,
     excluded_doc_ids: list[int] | None = None,
+    boosts: dict | None = None,
 ) -> DataFrame:
     """Per-shard pruning/decode counters for a query (see
     wand_shard_metrics) → DataFrame(METRICS_OUT_SCHEMA), one row per
@@ -1063,7 +1064,7 @@ def search_packed_metrics(
         return seg.groupBy("shard").applyInPandas(
             lambda pdf: wand_shard_metrics(pdf, n_docs, avgdl, k,
                                            conjunctive, n_terms, mode,
-                                           excluded=exc),
+                                           excluded=exc, boosts=boosts),
             schema=METRICS_OUT_SCHEMA,
         )
     if doc_stats is None:
@@ -1080,7 +1081,7 @@ def search_packed_metrics(
         )
         return wand_shard_metrics(seg_pdf, n_docs, avgdl, k, conjunctive,
                                   n_terms, mode, allowed=allowed,
-                                  excluded=exc)
+                                  excluded=exc, boosts=boosts)
 
     return (
         seg.groupby("shard")

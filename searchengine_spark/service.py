@@ -514,10 +514,15 @@ class SearchService:
         lookup skips), candidate/scored doc counts, and the largest
         per-shard θ bound. The per-partition metrics the north rule
         requires for the BUILD (index/manifest.py), extended to the
-        query side."""
+        query side. 'term^w' boost syntax is honored — explain
+        describes the same boosted kernels search would run."""
         from .index.wand import _resolve_terms
-        from .operators.search import lemmatize_query
+        from .operators.search import lemmatize_query, parse_boosted_query
 
+        boosts = None
+        if "^" in query:
+            query, parsed = parse_boosted_query(query)
+            boosts = parsed or None
         lemmas = lemmatize_query(query)
         terms = _resolve_terms(
             self.term_stats, self.n_docs, lemmas, 0.95, self.df_map
@@ -541,7 +546,7 @@ class SearchService:
         rows = search_packed_metrics(
             self.spark, self.segments, self.term_stats, self.n_docs,
             self.avgdl, query, k=limit, conjunctive=conjunctive,
-            mode=mode, site=site, df_map=self.df_map,
+            mode=mode, site=site, df_map=self.df_map, boosts=boosts,
             doc_stats=self.serve_meta, n_shards=self.n_shards,
             excluded_doc_ids=self.tombstoned,
         ).collect()
