@@ -446,6 +446,35 @@ def q_boosted_search(spark, sf_dir):
     )
 
 
+# -- query autocomplete (beyond-reference): dictionary terms under a prefix
+#    ranked (df desc, term asc), capped — the bounded-expansion rule shared
+#    with prefix retrieval (operators/prefix.expand_prefix); served
+#    driver-side by SearchService.complete() via bisect over the hot
+#    dictionary. At scale: term-sorted term_stats ⇒ row-group-pruned range
+#    scan. -------------------------------------------------------------------
+_SQL_AUTOCOMPLETE = f"""
+WITH {_SQL_TOK},
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM dfx
+WHERE term LIKE 'st%'
+ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
+@_reg("q_autocomplete", _SQL_AUTOCOMPLETE)
+def q_autocomplete(spark, sf_dir):
+    dfx = (
+        _tf(_t(spark, sf_dir, "documents"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        dfx.filter(F.col("term").startswith("st"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+        .select("term", "df")
+    )
+
+
 # -- cursor pagination (search_after, beyond-reference — the constant-cost
 #    deep-pagination shape; offset materializes offset+k rows and is bounded
 #    by MAX_OFFSET). Page 2 of the disjunctive BM25 ranking: rows strictly
@@ -1930,7 +1959,7 @@ _PRIORITY = [
     # wildcard retrieval, SymSpell fuzzy suggestion, more-like-this,
     # link graph, anchor indexing) — must receive a correctness row
     "q_search_collapsed", "q_search_facets", "q_boosted_search",
-    "q_synonym_search", "q_search_after",
+    "q_synonym_search", "q_search_after", "q_autocomplete",
     "q_more_like_this", "q_corrected_search", "q_bm25f_title",
     "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
     "q_static_rank_blend", "q_anchor_bm25", "q_hits",

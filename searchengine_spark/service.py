@@ -80,6 +80,9 @@ class SearchService:
         self.df_map = {
             r["term"]: r["df"] for r in self.term_stats.collect()
         }
+        # sorted dictionary keys for complete() — built lazily,
+        # dropped whenever df_map learns terms
+        self._sorted_terms: list | None = None
         # bounded response cache for the read endpoints (see _cached);
         # cache_responses=False serves every request uncached (bench
         # uses it so min-of-N latency measures the kernels, not hits)
@@ -159,6 +162,50 @@ class SearchService:
             lambda: self._facets_uncached(
                 query, top=top, conjunctive=conjunctive),
         )
+
+    def complete(self, prefix: str, topn: int = 10) -> dict:
+        """Query autocomplete: dictionary terms starting with `prefix`
+        ranked (df desc, term asc) — the same bounded-expansion rule as
+        prefix retrieval (operators/prefix.expand_prefix), served
+        driver-side from the hot term dictionary via one bisect over a
+        lazily-built sorted key list (no Spark job; rebuilt when
+        index_page teaches the dictionary new delta terms). At cluster
+        scale the dictionary is a term-sorted table and this is a
+        row-group-pruned range scan. → {result, completions:
+        [{term, df}, …]}."""
+        if not prefix:
+            return {"result": True, "completions": []}
+
+        def _compute():
+            import bisect
+
+            terms = self._sorted_terms
+            if terms is None:
+                terms = self._sorted_terms = sorted(self.df_map)
+            lo = bisect.bisect_left(terms, prefix)
+            # the prefix range ends where the prefix stops matching
+            if ord(prefix[-1]) < 0x10FFFF:
+                hi = bisect.bisect_left(
+                    terms, prefix[:-1] + chr(ord(prefix[-1]) + 1), lo
+                )
+            else:  # un-incrementable last codepoint: scan the tail
+                hi = next(
+                    (i for i in range(lo, len(terms))
+                     if not terms[i].startswith(prefix)),
+                    len(terms),
+                )
+            hits = sorted(
+                ((t, self.df_map[t]) for t in terms[lo:hi]),
+                key=lambda td: (-td[1], td[0]),
+            )[:topn]
+            return {
+                "result": True,
+                "completions": [
+                    {"term": t, "df": int(df)} for t, df in hits
+                ],
+            }
+
+        return self._cached(("complete", prefix, topn), _compute)
 
     def phrase(self, query: str, limit: int = 20) -> dict:
         return self._cached(
@@ -923,6 +970,7 @@ class SearchService:
             explode_term_counts(prepared).select("term").distinct().collect()
         ):
             self.df_map.setdefault(r["term"], 1)
+        self._sorted_terms = None  # complete() must see the new terms
         doc_id = prepared.select("doc_id").collect()[0]["doc_id"]
         return {"result": True, "doc_id": int(doc_id), "run_id": run_id}
 

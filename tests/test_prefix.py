@@ -126,3 +126,46 @@ def test_expansion_cap_changes_results_deterministically(
         ).collect()
     }
     assert got == single
+
+
+def test_service_complete_matches_expand_prefix(spark, tmp_path_factory):
+    """complete() ≡ expand_prefix over the same dictionary; delta terms
+    become completable immediately after index_page."""
+    from searchengine_spark.index.segments import (
+        build_segments, write_segments,
+    )
+    from searchengine_spark.operators.postings import (
+        build_index, write_index,
+    )
+    from searchengine_spark.operators.prefix import expand_prefix
+    from searchengine_spark.operators.search import corpus_constants
+    from searchengine_spark.service import SearchService
+    from searchengine_spark.sources.corpus import corpus_df
+
+    base = str(tmp_path_factory.mktemp("complsvc") / "index")
+    docs = corpus_df(spark, 100)
+    idx = build_index(docs, use_html=True)
+    write_index(idx, f"{base}/idx")
+    n, avgdl = corpus_constants(idx.doc_stats)
+    write_segments(build_segments(idx, n, avgdl, n_shards=4),
+                   f"{base}/segments")
+    svc = SearchService(spark, base)
+    try:
+        resp = svc.complete("по", topn=5)
+        assert resp["result"] is True and resp["completions"]
+        want = expand_prefix(idx.term_stats, "по", max_expansions=5)
+        assert [c["term"] for c in resp["completions"]] == want
+        # ranked df desc, term asc
+        dfs = [c["df"] for c in resp["completions"]]
+        assert dfs == sorted(dfs, reverse=True)
+        # empty prefix / no-match prefix
+        assert svc.complete("") == {"result": True, "completions": []}
+        assert svc.complete("zzzzzz")["completions"] == []
+        # delta term completable immediately
+        assert svc.complete("новыйтермин")["completions"] == []
+        svc.index_page("https://site0.example/compl",
+                       text="новыйтерминавтодополнение текст")
+        got = svc.complete("новыйтермин")["completions"]
+        assert [c["term"] for c in got] == ["новыйтерминавтодополнение"]
+    finally:
+        svc.close()
