@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — last stdout line is ONE compact JSON summary.
+
+Artifact encoding (VERDICT r4 #1): the driver keeps only a bounded tail
+of stdout, so the full detail object (per-stage timings, noise-protocol
+prose, raw probe numbers) is printed first AND written to
+BENCH_DETAIL.json, while the LAST line is a compact (<2 KB) summary that
+always fits the tail buffer intact.
 
 Measures the north-rule metric (BASELINE.json): index-build docs/sec for
 the crawl→extract→lemmatize→index→pack pipeline, plus per-query latency
@@ -538,7 +544,57 @@ def main() -> None:
         out["scaling_docs"] = s["corpus"]["docs"]
     except (OSError, KeyError, ValueError):
         pass
+
+    # Truncation-proof artifact encoding (VERDICT r4 #1): the driver
+    # captures a bounded TAIL of stdout, so the FULL detail object
+    # (per-stage timings + noise-protocol prose + raw probes) is
+    # emitted FIRST and also written to BENCH_DETAIL.json, while the
+    # LAST line is a compact (<2 KB) summary carrying the headline
+    # numbers and a boolean probe attestation — always complete inside
+    # the tail buffer.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
     print(json.dumps(out))
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "web_docs": n_web,
+        "build_docs_per_sec": out["build_docs_per_sec"],
+        "pack_docs_per_sec": out["pack_docs_per_sec"],
+        "query_p50_sec": out["query_p50_sec"],
+        "query_p95_sec": out["query_p95_sec"],
+        "service_p50_sec": out["service_p50_sec"],
+        "service_p95_sec": out["service_p95_sec"],
+        "wand_blocks_decoded_pct": blocks_decoded_pct,
+        "probe_in_band": {
+            "start": bool(probe_start.get("in_band")),
+            "end": bool(probe_end.get("in_band")),
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    for k in ("scaling_efficiency_n_to_4n", "scaling_levels_cores",
+              "scaling_docs", "zipf_blocks_decoded_pct"):
+        if k in out:
+            compact[k] = out[k]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2048:
+        # drop the slowest-to-matter detail first, never the headline
+        compact["queries"] = {
+            k: round(v, 3) for k, v in sorted(
+                queries.items(), key=lambda kv: -kv[1])[:24]}
+        compact["queries_truncated_see_detail"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1955,47 +1955,44 @@ def q_bm25f_title(spark, sf_dir):
 # never be silently dropped from the registry by forgetting to list it here
 # (tests/test_entry_contract.py asserts the ordering is a permutation).
 _PRIORITY = [
-    # NEW this round (r4: boolean AND/OR/NOT retrieval, prefix
-    # wildcard retrieval, SymSpell fuzzy suggestion, more-like-this,
-    # link graph, anchor indexing) — must receive a correctness row
-    "q_search_collapsed", "q_search_facets", "q_boosted_search",
-    "q_synonym_search", "q_search_after", "q_autocomplete",
-    "q_more_like_this", "q_corrected_search", "q_bm25f_title",
-    "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
-    "q_static_rank_blend", "q_anchor_bm25", "q_hits",
-    # reworked this round (r4: rolling-hash dup spans, 60-bit line
-    # hash + broadcast guard, range-checked PII regexes) — must
-    # receive a correctness row
-    "q_dup_spans", "q_line_dedup", "q_pii_scrub",
-    # r4 rotation (VERDICT r3 #3): the 14 relational entries the
-    # driver sweep truncated in r3 move into the head-50 so every one
-    # of the 64 entries has a driver-visible green row across r3 ∪ r4
-    "q_filter_range_scan", "q_semi_join", "q_anti_join", "q_set_ops",
-    "q_running_total", "q_topk_per_group", "q_latest_event_per_user",
-    "q_value_percentiles", "q_value_histogram", "q_json_extract",
-    "q_events_by_dow", "q_cube_source_lang", "q_join_agg_revenue",
-    "q_point_lookup",
-    # core search/index contract
+    # NEW this round (r5) — must receive a correctness row
+    # (new entries are inserted here as they land)
+    # r5 rotation (VERDICT r4 #4, standing alternation policy: every
+    # entry driver-green in any two consecutive rounds): the 30
+    # entries whose latest driver row is r3 move into the head-50;
+    # the r4-head newcomers absorb the ~50-row sweep truncation (all
+    # remain oracle-compared in pytest every run)
+    "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_ann_cosine_topk",
+    "q_ann_lsh_bucket", "q_token_counts", "q_lang_id", "q_quality_score",
+    "q_fingerprint", "q_multimodal_features", "q_asof_join",
+    "q_range_join", "q_events_hourly", "q_sessionize", "q_time_rollup",
+    "q_rollup_source_lang", "q_clean_corpus", "q_training_mixture",
+    "q_phrase_match", "q_proximity_match", "q_dedup_components",
+    "q_decontaminate", "q_repetition_stats", "q_train_split",
+    "q_stratified_sample", "q_pack_sequences", "q_mixture_sample",
+    "q_ann_ivf", "q_kmv_distinct", "q_topk_rank", "q_search_snippets",
+    # core search/index contract (r4-green)
     "q_tf_postings", "q_doc_frequency", "q_doc_stats", "q_pruned_terms",
     "q_conjunctive_match", "q_bm25_conjunctive", "q_bm25_disjunctive",
     "q_bm25_site_filtered", "q_legacy_relevance", "q_match_count",
     "q_source_stats", "q_site_dashboard", "q_distinct_terms",
     "q_url_normalize",
-    # dedup / ANN / text-stats family
+    # dedup / curation family (r4-green)
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
-    "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_ann_cosine_topk",
-    "q_ann_lsh_bucket", "q_token_counts", "q_lang_id", "q_quality_score",
-    "q_fingerprint", "q_multimodal_features",
-    # temporal / streaming / composite
-    "q_asof_join", "q_range_join", "q_events_hourly", "q_sessionize",
-    "q_time_rollup", "q_rollup_source_lang", "q_clean_corpus",
-    # r3-driver-green entries absorb any tail truncation (all remain
-    # oracle-compared in pytest every run)
-    "q_training_mixture", "q_phrase_match", "q_proximity_match",
-    "q_dedup_components", "q_decontaminate", "q_repetition_stats",
-    "q_train_split", "q_stratified_sample", "q_pack_sequences",
-    "q_mixture_sample", "q_ann_ivf", "q_kmv_distinct", "q_topk_rank",
-    "q_search_snippets",
+    "q_dup_spans", "q_line_dedup", "q_pii_scrub",
+    # r4-head newcomers, twice-green where applicable — absorb the
+    # tail truncation this round
+    "q_search_collapsed", "q_search_facets", "q_boosted_search",
+    "q_synonym_search", "q_search_after", "q_autocomplete",
+    "q_more_like_this", "q_corrected_search", "q_bm25f_title",
+    "q_bool_query", "q_prefix_search", "q_fuzzy_suggest", "q_pagerank",
+    "q_static_rank_blend", "q_anchor_bm25", "q_hits",
+    # relational tail (r3 ∪ r4 driver-green, pytest-oracled every run)
+    "q_filter_range_scan", "q_semi_join", "q_anti_join", "q_set_ops",
+    "q_running_total", "q_topk_per_group", "q_latest_event_per_user",
+    "q_value_percentiles", "q_value_histogram", "q_json_extract",
+    "q_events_by_dow", "q_cube_source_lang", "q_join_agg_revenue",
+    "q_point_lookup",
 ]
 
 

@@ -86,16 +86,19 @@ def test_registry_priority_order():
         set(q) ^ set(contract._PRIORITY)
     )
     head50 = list(q)[:50]
-    # r4: reworked entries + the 14 relational entries whose rows were
-    # truncated out of the r3 sweep (rotation per VERDICT r3 #3)
+    # r5 rotation (VERDICT r4 #4): the 30 entries whose latest driver
+    # row is r3 must sit in the first 50 sweep slots this round
     for name in [
-        "q_bool_query", "q_prefix_search", "q_fuzzy_suggest",
-        "q_dup_spans", "q_line_dedup", "q_pii_scrub",
-        "q_filter_range_scan", "q_semi_join", "q_anti_join", "q_set_ops",
-        "q_running_total", "q_topk_per_group", "q_latest_event_per_user",
-        "q_value_percentiles", "q_value_histogram", "q_json_extract",
-        "q_events_by_dow", "q_cube_source_lang", "q_join_agg_revenue",
-        "q_point_lookup",
+        "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_ann_cosine_topk",
+        "q_ann_lsh_bucket", "q_token_counts", "q_lang_id",
+        "q_quality_score", "q_fingerprint", "q_multimodal_features",
+        "q_asof_join", "q_range_join", "q_events_hourly", "q_sessionize",
+        "q_time_rollup", "q_rollup_source_lang", "q_clean_corpus",
+        "q_training_mixture", "q_phrase_match", "q_proximity_match",
+        "q_dedup_components", "q_decontaminate", "q_repetition_stats",
+        "q_train_split", "q_stratified_sample", "q_pack_sequences",
+        "q_mixture_sample", "q_ann_ivf", "q_kmv_distinct", "q_topk_rank",
+        "q_search_snippets",
     ]:
         assert name in head50, f"{name} not in first 50 sweep slots"
 
