@@ -537,6 +537,13 @@ def q_search_after(spark, sf_dir):
         )
     )
     cur = sc.orderBy(F.desc("score_e4"), F.asc("doc_id")).limit(10).collect()
+    # ADVICE r4: with <10 matching docs cur[-1] would anchor the cursor
+    # at the last AVAILABLE row while the oracle's LIMIT 1 OFFSET 9
+    # yields an empty cur CTE — fail loudly instead of diverging
+    # silently at an untested scale factor
+    assert len(cur) == 10, (
+        f"q_search_after fixture needs >=10 matches, got {len(cur)}"
+    )
     cs, cd = int(cur[-1]["score_e4"]), int(cur[-1]["doc_id"])
     return (
         sc.filter(

@@ -85,3 +85,58 @@ def suggest_terms(
         .orderBy(F.col("df").desc(), F.col("term"))
         .limit(topn)
     )
+
+
+def suggest_terms_multi(
+    term_stats: DataFrame,
+    words: list[str],
+    max_edit: int = 1,
+    topn: int = 10,
+    key_index: DataFrame | None = None,
+) -> DataFrame:
+    """Batched suggestion for MANY query words in ONE job:
+    DataFrame(word, term, df), per-word top ``topn`` ranked
+    (df DESC, term ASC). The serving shape for query correction — a
+    query's unknown lemmas resolve in a single key-lookup join
+    instead of one Spark job per word. Semantics per word are
+    identical to ``suggest_terms`` (delete-1 keys, exact levenshtein
+    verify)."""
+    from pyspark.sql import Window
+
+    if max_edit != 1:
+        raise ValueError(
+            "suggest_terms_multi supports max_edit=1 (delete-1 keys "
+            "are complete only for distance <= 1)"
+        )
+    spark = term_stats.sparkSession
+    pairs = [
+        (w, k)
+        for w in dict.fromkeys(words)
+        for k in sorted(_delete1(w))
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "word string, term string, df bigint"
+        )
+    qdf = spark.createDataFrame(pairs, "word string, key string")
+    idx = key_index if key_index is not None else deletion_key_index(
+        term_stats
+    )
+    allkeys = sorted({k for _, k in pairs})
+    cand = (
+        # key IN <driver set> prunes the (cached / key-partitioned)
+        # index scan; the tiny (word, key) frame broadcasts INTO it
+        idx.filter(F.col("key").isin(allkeys))
+        .join(F.broadcast(qdf), "key")
+        .select("word", "term", "df")
+        .distinct()
+        .filter(F.levenshtein(F.col("term"), F.col("word")) <= max_edit)
+    )
+    win = Window.partitionBy("word").orderBy(
+        F.col("df").desc(), F.col("term")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= topn)
+        .drop("rn")
+    )

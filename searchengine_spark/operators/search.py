@@ -230,8 +230,14 @@ def parse_boosted_query(query: str) -> tuple[str, dict[str, float]]:
     plain: list[str] = []
     for tok in query.split():
         m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", tok)
-        if m and float(m.group(2)) > 0:
+        if m:
             w = float(m.group(2))
+            if w <= 0:
+                # every other boost entry point (wand kernels,
+                # service.search) rejects non-positive weights; a
+                # silent pass-through here would leave the literal
+                # "term^0" token in the rebuilt query string
+                raise ValueError(f"non-positive boost: {tok!r}")
             for lem in lemmatize_query(m.group(1)):
                 boosts[lem] = max(w, boosts.get(lem, 0.0))
             plain.append(m.group(1))

