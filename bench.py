@@ -400,6 +400,12 @@ def main() -> None:
     queries["service_boosted"] = timed(
         lambda: svc.search("быстрый^3 поиск слова", limit=20)
     )
+    # r5: field-weighted BM25F served from the packed per-field TF
+    # layer (title stream + field-weighted block-max bounds)
+    queries["service_bm25f"] = timed(
+        lambda: svc.search("быстрый поиск слова", limit=20, mode="bm25f",
+                           conjunctive=False)
+    )
     from searchengine_spark.operators.search import lemmatize_query as _lq
 
     _syn = {t: _lq("медленный") for t in _lq("быстрый")}

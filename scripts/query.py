@@ -36,8 +36,14 @@ def main() -> None:
                          "boolean = explicit AND/OR/NOT over <index>/"
                          "segments; suggest = fuzzy did-you-mean over "
                          "the term dictionary")
-    ap.add_argument("--scoring", choices=["bm25", "legacy"], default="bm25",
-                    help="legacy = reference sum(rank)/max(rank)")
+    ap.add_argument("--scoring", choices=["bm25", "bm25f", "legacy"],
+                    default="bm25",
+                    help="legacy = reference sum(rank)/max(rank); "
+                         "bm25f = field-weighted ranking (title vs "
+                         "body) served from the packed field layer")
+    ap.add_argument("--title-weight", type=float, default=2.0,
+                    metavar="W",
+                    help="bm25f title field weight (body stays 1.0)")
     ap.add_argument("--disjunctive", action="store_true")
     ap.add_argument("--blend", type=float, default=None, metavar="W",
                     help="rerank by bm25 + W*PageRank authority (needs "
@@ -129,11 +135,15 @@ def main() -> None:
             args.query, parsed = parse_boosted_query(args.query)
             boosts = parsed or None
         segments = spark.read.parquet(f"{args.index}/segments")
+        fw = (
+            {"body": 1.0, "title": args.title_weight}
+            if args.scoring == "bm25f" else None
+        )
         out = search_packed(
             spark, segments, idx.term_stats, n_docs, avgdl, args.query,
             k=args.k, conjunctive=not args.disjunctive, mode=args.scoring,
             site=args.site, offset=args.offset, doc_stats=idx.doc_stats,
-            collapse_n=args.collapse, boosts=boosts,
+            collapse_n=args.collapse, boosts=boosts, field_weights=fw,
         )
     else:
         out = search(

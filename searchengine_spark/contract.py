@@ -1895,12 +1895,12 @@ j AS (
 SELECT j.doc_id,
   floor(sum(
     ln(1.0 + (n - df + 0.5) / (df + 0.5))
-    * ((tf_t * 2.0) / (1.0 - 0.5 + 0.5 * coalesce(tl.len, 0) / avg_t)
-       + (tf_b * 1.0) / (1.0 - 0.75 + 0.75 * coalesce(bl.len, 0) / avg_b))
+    * (2.0 * (tf_t / (1.0 - 0.5 + 0.5 * coalesce(tl.len, 0) / avg_t))
+       + 1.0 * (tf_b / (1.0 - 0.75 + 0.75 * coalesce(bl.len, 0) / avg_b)))
     * 2.2
-    / (1.2 + ((tf_t * 2.0) / (1.0 - 0.5 + 0.5 * coalesce(tl.len, 0) / avg_t)
-              + (tf_b * 1.0)
-                / (1.0 - 0.75 + 0.75 * coalesce(bl.len, 0) / avg_b)))
+    / (1.2 + (2.0 * (tf_t / (1.0 - 0.5 + 0.5 * coalesce(tl.len, 0) / avg_t))
+              + 1.0
+                * (tf_b / (1.0 - 0.75 + 0.75 * coalesce(bl.len, 0) / avg_b))))
   ) * 10000.0 + 0.5)::BIGINT AS score_e4,
   count(*)::BIGINT AS n_hit
 FROM j

@@ -205,14 +205,23 @@ def refresh_and_repack(
     avgdl = (float(totals["s"]) / n_docs) if n_docs else 0.0
 
     # repack with fresh stats; shard column is reused verbatim (the
-    # global doc-space hash partitioning never changes on refresh)
-    enriched = (
+    # global doc-space hash partitioning never changes on refresh).
+    # The BM25F field layer is re-derived from the RESOLVED titles
+    # (delta-landed titles included) with a fresh exact avgtl — the
+    # delta runs' base-constant approximation closes here, same as
+    # df/avgdl
+    from .segments import _avgtl_of, _with_title_cols, title_field_side
+
+    title_side = title_field_side(live.select("doc_id", "title")).cache()
+    avgtl = _avgtl_of(title_side, n_docs)
+    enriched = _with_title_cols(
         cur.select("term", "shard", "doc_id", "tf")
         .join(dl, "doc_id")
-        .join(term_stats.select("term", "df"), "term")
+        .join(term_stats.select("term", "df"), "term"),
+        title_side,
     )
     repacked = enriched.groupBy("term", "shard").applyInPandas(
-        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id),
+        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id, avgtl=avgtl),
         schema=INDEX_SEGMENTS_SCHEMA,
     )
     tmp = f"{seg_path}.refreshing"
@@ -223,6 +232,7 @@ def refresh_and_repack(
         .partitionBy("shard")
         .parquet(tmp)
     )
+    title_side.unpersist()
 
     # the new idx tables still READ from the old idx/segments paths
     # (doc_stats ← idx/doc_stats via _doc_meta, postings ← segments),

@@ -68,9 +68,27 @@ def bm25_scores_np(
     return idf * tf * (1.0 + k1) / norm
 
 
-def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int) -> pd.DataFrame:
-    """One (term, shard) group of (doc_id, tf, doclen, df) → one packed
-    segment row. Runs inside applyInPandas (Arrow batch, numpy body)."""
+def _field_norm_np(tfs: np.ndarray, lens: np.ndarray, avg: float,
+                   b: float) -> np.ndarray:
+    """tf / (1 - b + b·len/avg): one field's normalized tf, weight-free
+    (query-time weights multiply OUTSIDE — operators/fielded
+    .field_norm_tf documents why that keeps w·max sound bitwise).
+    avg == 0 (a corpus with no titles at all) degenerates to
+    tf / (1 - b): every len is 0 there, so the b·len/avg term is 0."""
+    t = tfs.astype(np.float64)
+    if avg > 0.0:
+        return t / (1.0 - b + b * lens.astype(np.float64) / avg)
+    return t / (1.0 - b)
+
+
+def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int,
+                avgtl: float = 0.0) -> pd.DataFrame:
+    """One (term, shard) group of (doc_id, tf, doclen, df[, ttf, tlen])
+    → one packed segment row. Runs inside applyInPandas (Arrow batch,
+    numpy body). ttf/tlen (title-field tf and title length, absent →
+    zeros) feed the per-field TF layer that serves BM25F."""
+    from ..operators.fielded import FIELD_B_BODY, FIELD_B_TITLE
+
     term = pdf["term"].iloc[0]
     shard = int(pdf["shard"].iloc[0])
     df_term = int(pdf["df"].iloc[0])
@@ -78,11 +96,21 @@ def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int) -> pd
     doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
     tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
     doclens = pdf["doclen"].to_numpy()[order].astype(np.int64)
+    if "ttf" in pdf.columns:
+        ttfs = pdf["ttf"].to_numpy()[order].astype(np.int64)
+        tlens = pdf["tlen"].to_numpy()[order].astype(np.int64)
+    else:
+        ttfs = np.zeros(len(doc_ids), dtype=np.int64)
+        tlens = np.zeros(len(doc_ids), dtype=np.int64)
     scores = bm25_scores_np(tfs, doclens, df_term, n_docs, avgdl)
+    bnorm = _field_norm_np(tfs, doclens, avgdl, FIELD_B_BODY)
+    tnorm = _field_norm_np(ttfs, tlens, avgtl, FIELD_B_TITLE)
     n = len(doc_ids)
     n_blocks = -(-n // BLOCK)
     block_last = [int(doc_ids[min((i + 1) * BLOCK, n) - 1]) for i in range(n_blocks)]
     block_max = [float(scores[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(n_blocks)]
+    block_bn = [float(bnorm[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(n_blocks)]
+    block_tn = [float(tnorm[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(n_blocks)]
 
     # per-block byte offsets into each varbyte stream (lazy decode);
     # lengths computed once per stream and reused by the encoder
@@ -96,7 +124,10 @@ def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int) -> pd
     dls_u = doclens.astype(np.uint64)
     enc = {}
     offs = {}
-    for key, vals in (("ids", gaps), ("tfs", tfs_u), ("dls", dls_u)):
+    for key, vals in (
+        ("ids", gaps), ("tfs", tfs_u), ("dls", dls_u),
+        ("ttf", ttfs.astype(np.uint64)), ("tls", tlens.astype(np.uint64)),
+    ):
         lens = vb.varbyte_lengths(vals)
         cum = np.concatenate(([0], np.cumsum(lens)))
         offs[key] = [int(x) for x in cum[starts]]
@@ -118,9 +149,83 @@ def _pack_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, run_id: int) -> pd
                 "block_off_ids": offs["ids"],
                 "block_off_tfs": offs["tfs"],
                 "block_off_dls": offs["dls"],
+                "tfs_title": enc["ttf"],
+                "title_lens": enc["tls"],
+                "block_off_ttf": offs["ttf"],
+                "block_off_tls": offs["tls"],
+                "block_max_bnorm": block_bn,
+                "block_max_tnorm": block_tn,
+                "avgtl": float(avgtl),
             }
         ]
     )
+
+
+def title_field_side(doc_meta: DataFrame) -> DataFrame:
+    """(doc_id, title) → (doc_id, tmap map<term,tf>, tlen): the
+    title-field term counts, analyzed with the SAME analyzer as the
+    index body (term_counts_udf — lemmatize + stop-filter), as a
+    per-doc MAP. The map rides ONE doc_id join into the postings
+    frame and is projected away (element_at) before the expensive
+    (term, shard) pack shuffle — no (doc_id, term) join of the
+    corpus-sized postings frame is ever needed (titles are a handful
+    of terms per doc)."""
+    from ..functions.udfs import term_counts_udf
+
+    tc = term_counts_udf(F.coalesce(F.col("title"), F.lit("")))
+    return doc_meta.select("doc_id", tc.alias("tc")).select(
+        "doc_id",
+        F.map_from_arrays("tc.terms", "tc.tfs").alias("tmap"),
+        F.aggregate("tc.tfs", F.lit(0), lambda a, x: a + x)
+        .cast("long").alias("tlen"),
+    )
+
+
+def _title_side_from_pairs(
+    title_tf: DataFrame, title_len: DataFrame
+) -> DataFrame:
+    """Adapter: explicit (doc_id, term, ttf) + (doc_id, tlen) frames →
+    the (doc_id, tmap, tlen) shape build_segments joins. For corpora
+    whose title field is defined by the CALLER's analyzer (e.g. the
+    whitespace-tokenized contract tables) instead of the HTML
+    pipeline's lemmatizer."""
+    maps = title_tf.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", F.col("ttf").cast("int")))
+        ).alias("tmap")
+    )
+    return title_len.select("doc_id", F.col("tlen").cast("long")).join(
+        maps, "doc_id", "left"
+    )
+
+
+def _with_title_cols(enriched: DataFrame, title_side: DataFrame | None):
+    """Left-join the per-doc title map and extract this posting row's
+    title tf natively (element_at) — zeros when the corpus has no
+    title data."""
+    if title_side is None:
+        return enriched.withColumn(
+            "ttf", F.lit(0)
+        ).withColumn("tlen", F.lit(0).cast("long"))
+    return (
+        enriched.join(title_side, "doc_id", "left")
+        .withColumn(
+            "ttf",
+            F.coalesce(F.element_at(F.col("tmap"), F.col("term")), F.lit(0)),
+        )
+        .withColumn("tlen", F.coalesce(F.col("tlen"), F.lit(0).cast("long")))
+        .drop("tmap")
+    )
+
+
+def _avgtl_of(title_side: DataFrame | None, n_docs: int) -> float:
+    """Corpus avg title length = Σ tlen / n_docs — docs without a
+    title count as length 0 (they are real documents of the corpus;
+    the packed convention, mirrored by every oracle twin)."""
+    if title_side is None or n_docs == 0:
+        return 0.0
+    s = title_side.agg(F.sum("tlen").alias("s")).collect()[0]["s"]
+    return float(s or 0) / n_docs
 
 
 def build_segments(
@@ -129,19 +234,43 @@ def build_segments(
     avgdl: float,
     n_shards: int | None = None,
     run_id: int = 0,
+    title_tf: DataFrame | None = None,
+    title_len: DataFrame | None = None,
+    avgtl: float | None = None,
 ) -> DataFrame:
-    """postings + stats → packed index_segments DataFrame."""
+    """postings + stats → packed index_segments DataFrame.
+
+    The per-field TF layer (BM25F serving) is derived from
+    doc_stats.title by default (same analyzer as the body), or from
+    explicit (title_tf, title_len) frames. `avgtl` (corpus avg title
+    length) is computed here with one small aggregation when not
+    passed — at production scale pass it precomputed alongside
+    n_docs/avgdl so this stays a pure transform."""
     if n_shards is None:
         par = index.postings.sparkSession.sparkContext.defaultParallelism
         n_shards = n_shards_for(n_docs, min_parallelism=par)
-    enriched = (
+    if title_tf is not None:
+        if title_len is None:
+            raise ValueError("title_tf needs title_len")
+        title_side = _title_side_from_pairs(title_tf, title_len)
+    elif "title" in index.doc_stats.columns:
+        title_side = title_field_side(
+            index.doc_stats.select("doc_id", "title")
+        )
+    else:
+        title_side = None
+    if avgtl is None:
+        avgtl = _avgtl_of(title_side, n_docs)
+    enriched = _with_title_cols(
         index.postings
         .join(index.doc_stats.select("doc_id", "doclen"), "doc_id")
-        .join(index.term_stats.select("term", "df"), "term")
-        .withColumn("shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int"))
+        .join(index.term_stats.select("term", "df"), "term"),
+        title_side,
+    ).withColumn(
+        "shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
     )
     return enriched.groupBy("term", "shard").applyInPandas(
-        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id),
+        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id, avgtl=avgtl),
         schema=INDEX_SEGMENTS_SCHEMA,
     )
 
@@ -167,6 +296,19 @@ def unpack_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+def unpack_segment_titles(row, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(title_tfs, title_lens) from a segment row — zeros for rows
+    packed before the field layer existed (nullable columns)."""
+    ttf = row["tfs_title"] if "tfs_title" in row else None
+    if ttf is None:
+        z = np.zeros(n, dtype=np.int64)
+        return z, z.copy()
+    return (
+        vb.decode_ints(bytes(ttf)),
+        vb.decode_ints(bytes(row["title_lens"])),
+    )
+
+
 def delta_segments(
     delta_prepared: DataFrame,
     term_stats: DataFrame,
@@ -174,6 +316,7 @@ def delta_segments(
     avgdl: float,
     n_shards: int,
     run_id: int,
+    avgtl: float = 0.0,
 ) -> DataFrame:
     """Incremental update (reference I1, single-page reindex
     IndexingService.java:71-95): a small batch of new/changed docs →
@@ -192,16 +335,22 @@ def delta_segments(
     doclen = delta_prepared.select(
         "doc_id", doclen_from_counts(delta_prepared).alias("doclen")
     )
-    enriched = (
+    # field layer for the delta docs (avgtl = BASE corpus constant,
+    # same approximation family as n_docs/avgdl; exact at compaction)
+    title_side = (
+        title_field_side(delta_prepared.select("doc_id", "title"))
+        if "title" in delta_prepared.columns else None
+    )
+    enriched = _with_title_cols(
         postings.join(doclen, "doc_id")
         .join(term_stats.select("term", "df"), "term", "left")
-        .fillna(1, subset=["df"])  # unseen term: df ≥ 1 once this doc lands
-        .withColumn(
-            "shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
-        )
+        .fillna(1, subset=["df"]),  # unseen term: df ≥ 1 once this doc lands
+        title_side,
+    ).withColumn(
+        "shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
     )
     return enriched.groupBy("term", "shard").applyInPandas(
-        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id),
+        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id, avgtl=avgtl),
         schema=INDEX_SEGMENTS_SCHEMA,
     )
 
@@ -215,6 +364,7 @@ def write_delta_run(
     avgdl: float,
     n_shards: int,
     run_id: int,
+    avgtl: float = 0.0,
 ) -> None:
     """Append one delta run: packed segments (delta_segments) PLUS the
     delta docs' meta rows (doc_id, url, site, doclen, run_id) to
@@ -239,7 +389,7 @@ def write_delta_run(
     try:
         delta = delta_segments(
             delta_prepared, term_stats, n_docs=n_docs, avgdl=avgdl,
-            n_shards=n_shards, run_id=run_id,
+            n_shards=n_shards, run_id=run_id, avgtl=avgtl,
         )
         (
             delta.repartition("shard")
@@ -330,9 +480,11 @@ def merge_runs(segments: DataFrame, n_docs: int, avgdl: float, run_id: int = 0) 
         parts = []
         for _, row in pdf.iterrows():
             ids, tfs, dls = unpack_segment(row)
+            ttfs, tls = unpack_segment_titles(row, len(ids))
             parts.append(
                 pd.DataFrame(
                     {"doc_id": ids, "tf": tfs, "doclen": dls,
+                     "ttf": ttfs, "tlen": tls,
                      "run_id": row["run_id"]}
                 )
             )
@@ -347,7 +499,12 @@ def merge_runs(segments: DataFrame, n_docs: int, avgdl: float, run_id: int = 0) 
         # arbitrary row could pick a delta run's fillna(1) placeholder
         # over the base-exact df and change block-max scores run-to-run
         allp["df"] = pdf["df"].iloc[-1]
-        return _pack_group(allp, n_docs, avgdl, run_id)
+        # avgtl likewise from the highest run (a corpus constant rider)
+        a_tl = pdf["avgtl"].iloc[-1] if "avgtl" in pdf.columns else None
+        return _pack_group(
+            allp, n_docs, avgdl, run_id,
+            avgtl=float(a_tl) if a_tl is not None and a_tl == a_tl else 0.0,
+        )
 
     return segments.groupBy("term", "shard").applyInPandas(
         _merge, schema=INDEX_SEGMENTS_SCHEMA

@@ -46,9 +46,56 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.fielded import (
+    BM25F_K1,
+    FIELD_B_BODY,
+    FIELD_B_TITLE,
+)
 from ..operators.search import lemmatize_query
 from . import varbyte as vb
-from .segments import BLOCK, bm25_scores_np, unpack_segment
+from .segments import (
+    BLOCK,
+    _field_norm_np,
+    bm25_scores_np,
+    unpack_segment,
+    unpack_segment_titles,
+)
+
+# modes whose _TermList.block_max is a sound per-posting upper bound
+# (bm25: the stored exact per-block max; bm25f: the field-weighted
+# bound built in __init__) — every pruning/θ-seed path gates on this;
+# legacy sum/max tf ratios have no sound block bound and score
+# exhaustively
+PRUNABLE_MODES = ("bm25", "bm25f")
+
+# default BM25F field weights (title hits worth 2× a body hit — the
+# conventional starting point; callers override per query)
+DEFAULT_FIELD_WEIGHTS = {"body": 1.0, "title": 2.0}
+
+
+def _resolve_fweights(mode: str, field_weights: dict | None):
+    """dict {"body": w, "title": w} → the (w_body, w_title) tuple the
+    kernels take; None for non-bm25f modes. Validates early,
+    driver-side — a bad weight must never surface as an executor
+    PythonException."""
+    if field_weights is not None and mode != "bm25f":
+        raise ValueError(
+            f"field_weights need mode='bm25f' (got mode={mode!r})"
+        )
+    if mode != "bm25f":
+        return None
+    fw = DEFAULT_FIELD_WEIGHTS if field_weights is None else field_weights
+    extra = set(fw) - {"body", "title"}
+    if extra:
+        raise ValueError(
+            f"unknown fields {sorted(extra)} — packed BM25F serves "
+            "body and title"
+        )
+    wb = float(fw.get("body", 1.0))
+    wt = float(fw.get("title", 1.0))
+    if wb <= 0.0 or wt <= 0.0:
+        raise ValueError(f"field weights must be > 0 (got {fw})")
+    return (wb, wt)
 
 TOPK_OUT_SCHEMA = "doc_id long, score double, n_hit int"
 # collapse (per-site diversification) variants carry each kept row's
@@ -64,32 +111,66 @@ class _TermList:
         "n", "df", "block_last", "block_max", "gmax", "n_decoded",
         "_n_docs", "_avgdl", "_mode", "_boost",
         "_bids", "_btfs", "_bdls", "_oids", "_otfs", "_odls",
+        "_bttf", "_btls", "_ottf", "_otls", "_avgtl", "_fw",
         "_cache", "_full",
     )
 
     def __init__(self, rows: pd.DataFrame, n_docs: int, avgdl: float,
-                 mode: str = "bm25", boost: float = 1.0):
+                 mode: str = "bm25", boost: float = 1.0,
+                 fweights: tuple[float, float] | None = None):
         # per-term query boost (Lucene term^w): scores AND the packed
         # block-max/gmax bounds scale linearly by boost — for boost>0
         # the scaled bounds stay exact upper bounds, so every pruning
         # argument (block-max, essential-list cut, θ-seed) carries
-        # over unchanged. bm25 only: legacy sum/max is a tf ratio.
-        if boost != 1.0 and (boost <= 0.0 or mode != "bm25"):
+        # over unchanged. bm25/bm25f only: legacy sum/max is a tf
+        # ratio.
+        if boost != 1.0 and (boost <= 0.0 or mode not in PRUNABLE_MODES):
             raise ValueError(
-                f"boost must be > 0 and bm25-mode only (got {boost}, "
+                f"boost must be > 0 and bm25/bm25f-mode only (got {boost}, "
                 f"mode={mode})"
             )
+        if mode == "bm25f":
+            # (w_body, w_title), both > 0: the field-weighted bound
+            # w_b·max(bnorm)+w_t·max(tnorm) is sound for positive
+            # weights (IEEE multiply by a positive scalar is monotone)
+            if (
+                fweights is None
+                or len(fweights) != 2
+                or fweights[0] <= 0.0
+                or fweights[1] <= 0.0
+            ):
+                raise ValueError(
+                    f"mode='bm25f' needs fweights=(w_body, w_title) > 0, "
+                    f"got {fweights}"
+                )
+            if "tfs_title" not in rows.columns or any(
+                rows["tfs_title"].isna()
+            ):
+                raise ValueError(
+                    "mode='bm25f' needs the per-field TF layer — repack "
+                    "the index (index.segments.build_segments writes "
+                    "tfs_title/title_lens since the field layer landed)"
+                )
+        self._fw = tuple(float(w) for w in fweights) if fweights else None
         self._boost = boost
         self._n_docs, self._avgdl, self._mode = n_docs, avgdl, mode
         self.df = int(rows["df"].iloc[0])
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._full = None
         self.n_decoded = 0  # blocks actually decompressed (metrics)
+        if "avgtl" in rows.columns:
+            # corpus-constant rider; highest run wins (same as df).
+            # Null (pre-field-layer rows) reads as NaN — treat as 0
+            v = rows.sort_values("run_id")["avgtl"].iloc[-1]
+            self._avgtl = float(v) if v is not None and v == v else 0.0
+        else:
+            self._avgtl = 0.0
         lazy = (
             len(rows) == 1
-            and mode == "bm25"
+            and mode in PRUNABLE_MODES
             and "block_off_ids" in rows.columns
             and rows.iloc[0]["block_off_ids"] is not None
+            and (mode != "bm25f" or rows.iloc[0]["block_off_ttf"] is not None)
         )
         if lazy:
             row = rows.iloc[0]
@@ -101,7 +182,28 @@ class _TermList:
             self._otfs = np.asarray(row["block_off_tfs"], dtype=np.int64)
             self._odls = np.asarray(row["block_off_dls"], dtype=np.int64)
             self.block_last = np.asarray(row["block_last_doc"], dtype=np.int64)
-            self.block_max = np.asarray(row["block_max_score"], dtype=np.float64)
+            if mode == "bm25f":
+                self._bttf = bytes(row["tfs_title"])
+                self._btls = bytes(row["title_lens"])
+                self._ottf = np.asarray(row["block_off_ttf"], dtype=np.int64)
+                self._otls = np.asarray(row["block_off_tls"], dtype=np.int64)
+                # field-weighted block bound: x̄ = w_b·max(bnorm) +
+                # w_t·max(tnorm) dominates every posting's x in the
+                # block (per-field max + positive-scalar monotonicity);
+                # the saturation S(x)=x(1+k1)/(k1+x) is increasing, so
+                # idf·S(x̄) ≥ idf·S(x) = the exact posting score
+                wb, wt = self._fw
+                xbar = (
+                    wb * np.asarray(row["block_max_bnorm"], dtype=np.float64)
+                    + wt * np.asarray(row["block_max_tnorm"], dtype=np.float64)
+                )
+                self.block_max = self._saturate(xbar)
+            else:
+                self._bttf = self._btls = b""
+                self._ottf = self._otls = np.empty(0, dtype=np.int64)
+                self.block_max = np.asarray(
+                    row["block_max_score"], dtype=np.float64
+                )
             if self._boost != 1.0:
                 self.block_max = self.block_max * self._boost
             self.gmax = float(self.block_max.max()) if self.n else 0.0
@@ -109,25 +211,33 @@ class _TermList:
         # eager: merge runs (last run wins per doc_id — upsert)
         self._bids = self._btfs = self._bdls = b""
         self._oids = self._otfs = self._odls = np.empty(0, dtype=np.int64)
+        self._bttf = self._btls = b""
+        self._ottf = self._otls = np.empty(0, dtype=np.int64)
         if len(rows) == 1:
             ids, tfs, dls = unpack_segment(rows.iloc[0])
+            ttfs, tls = unpack_segment_titles(rows.iloc[0], len(ids))
         else:
             parts = []
             for _, row in rows.sort_values("run_id").iterrows():
                 i, t, d = unpack_segment(row)
-                parts.append((i, t, d, int(row["run_id"])))
+                tt, tl = unpack_segment_titles(row, len(i))
+                parts.append((i, t, d, tt, tl, int(row["run_id"])))
             ids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
+            ttfs = np.concatenate([p[3] for p in parts])
+            tls = np.concatenate([p[4] for p in parts])
             runs = np.concatenate(
-                [np.full(len(p[0]), p[3], dtype=np.int64) for p in parts]
+                [np.full(len(p[0]), p[5], dtype=np.int64) for p in parts]
             )
             order = np.lexsort((runs, ids))
             ids, tfs, dls = ids[order], tfs[order], dls[order]
+            ttfs, tls = ttfs[order], tls[order]
             keep = np.ones(len(ids), dtype=bool)
             keep[:-1] = ids[1:] != ids[:-1]  # keep last (highest run)
             ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-        scores = self._score(tfs, dls)
+            ttfs, tls = ttfs[keep], tls[keep]
+        scores = self._score(tfs, dls, ttfs, tls)
         self._full = (ids, scores)
         self.n = len(ids)
         n_blocks = -(-self.n // BLOCK) if self.n else 0
@@ -152,12 +262,41 @@ class _TermList:
         """Full score array (forces decode)."""
         return self.decode_all()[1]
 
-    def _score(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+    def _saturate(self, x: np.ndarray) -> np.ndarray:
+        """idf · x·(1+k1)/(k1+x) — the BM25F per-term score as a
+        function of the field-combined tf~ (same literal structure as
+        operators.fielded.bm25f_term_score for e4 bit-parity)."""
+        idf = np.log(
+            1.0 + (self._n_docs - self.df + 0.5) / (self.df + 0.5)
+        )
+        return idf * x * (1.0 + BM25F_K1) / (BM25F_K1 + x)
+
+    def _score(
+        self,
+        tfs: np.ndarray,
+        dls: np.ndarray,
+        ttfs: np.ndarray | None = None,
+        tls: np.ndarray | None = None,
+    ) -> np.ndarray:
         if self._mode == "legacy":
             # reference A3 contribution = raw rank (tf); the kernel
             # finishes with sum/max
             return tfs.astype(np.float64)
-        sc = bm25_scores_np(tfs, dls, self.df, self._n_docs, self._avgdl)
+        if self._mode == "bm25f":
+            # x = w_b·(tf/norm_b) + w_t·(ttf/norm_t), weights OUTSIDE
+            # the division (fielded.field_norm_tf documents why);
+            # title term first to mirror the relational iteration
+            # order (IEEE + is commutative for two addends — parity
+            # holds either way, kept aligned for readability)
+            wb, wt = self._fw
+            x = wt * _field_norm_np(
+                ttfs, tls, self._avgtl, FIELD_B_TITLE
+            ) + wb * _field_norm_np(tfs, dls, self._avgdl, FIELD_B_BODY)
+            sc = self._saturate(x)
+        else:
+            sc = bm25_scores_np(
+                tfs, dls, self.df, self._n_docs, self._avgdl
+            )
         if self._boost != 1.0:
             sc = sc * self._boost
         return sc
@@ -186,7 +325,16 @@ class _TermList:
         dls = vb.varbyte_decode(
             self._slice(self._bdls, self._odls, b)
         ).astype(np.int64)
-        out = (ids, self._score(tfs, dls))
+        if self._mode == "bm25f":
+            ttfs = vb.varbyte_decode(
+                self._slice(self._bttf, self._ottf, b)
+            ).astype(np.int64)
+            tls = vb.varbyte_decode(
+                self._slice(self._btls, self._otls, b)
+            ).astype(np.int64)
+        else:
+            ttfs = tls = None
+        out = (ids, self._score(tfs, dls, ttfs, tls))
         self._cache[b] = out
         self.n_decoded += 1
         return out
@@ -640,6 +788,7 @@ def wand_shard_topk(
     collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
     boosts: dict | None = None,
     after: tuple[float, int] | None = None,
+    fweights: tuple[float, float] | None = None,
 ) -> pd.DataFrame:
     """One shard's segments (all query terms) → shard-local top-k.
 
@@ -682,7 +831,8 @@ def wand_shard_topk(
         return _empty_finalize(k, collapse)
     lists = [
         _TermList(rows, n_docs, avgdl, mode,
-                  boost=boosts.get(t, 1.0) if boosts else 1.0)
+                  boost=boosts.get(t, 1.0) if boosts else 1.0,
+                  fweights=fweights)
         for t, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
@@ -696,7 +846,7 @@ def wand_shard_topk(
     # below instead of the intersection cascade's full driving-list
     # decode — θ-seed + block bounds skip provably non-competitive
     # blocks of the one list (rank-identical: pruning is sound)
-    if conjunctive and not (mode == "bm25" and len(lists) == 1):
+    if conjunctive and not (mode in PRUNABLE_MODES and len(lists) == 1):
         # rarest-first intersection cascade (R1): drive with the
         # shortest list (fully decoded), probe the rest lazily; the
         # site filter is the cheapest predicate — apply it first
@@ -732,7 +882,7 @@ def wand_shard_topk(
     # (legacy mode: no sound block bound for sum/max → no pruning)
     shortest = min(lists, key=lambda t: t.n)
     k_seed = k if collapse is None else k * collapse[0]
-    if mode != "bm25":
+    if mode not in PRUNABLE_MODES:
         theta = 0.0
     elif after is not None:
         theta = _theta_seed_after(lists, shortest, k, after,
@@ -776,6 +926,7 @@ def wand_shard_topk_count(
     excluded: np.ndarray | None = None,
     collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
     boosts: dict | None = None,
+    fweights: tuple[float, float] | None = None,
 ) -> pd.DataFrame:
     """wand_shard_topk PLUS the shard's pre-top-k match count in the
     SAME pass (the reference response carries both the ranked page and
@@ -821,7 +972,8 @@ def wand_shard_topk_count(
         return with_count(_empty_finalize(k, collapse), 0)
     lists = [
         _TermList(rows, n_docs, avgdl, mode,
-                  boost=boosts.get(t, 1.0) if boosts else 1.0)
+                  boost=boosts.get(t, 1.0) if boosts else 1.0,
+                  fweights=fweights)
         for t, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
@@ -835,7 +987,7 @@ def wand_shard_topk_count(
     # the blocks filter ids fall in) — and the top-k takes the
     # block-max-pruned path
     live = [t for t in lists if t.n > 0]
-    if mode == "bm25" and len(live) == 1 and (
+    if mode in PRUNABLE_MODES and len(live) == 1 and (
         not conjunctive or len(lists) == 1
     ):
         t = live[0]
@@ -929,6 +1081,7 @@ def wand_shard_metrics(
     allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
     boosts: dict | None = None,
+    fweights: tuple[float, float] | None = None,
 ) -> pd.DataFrame:
     """One shard's PRUNING-EFFECTIVENESS counters for a query — the
     observability face of the block-max WAND kernel (per-partition
@@ -979,7 +1132,8 @@ def wand_shard_metrics(
         return row([], 0, 0, 0.0)
     lists = [
         _TermList(rows, n_docs, avgdl, mode,
-                  boost=boosts.get(t, 1.0) if boosts else 1.0)
+                  boost=boosts.get(t, 1.0) if boosts else 1.0,
+                  fweights=fweights)
         for t, rows in pdf.groupby("term", sort=False)
     ]
     if not lists:
@@ -990,7 +1144,7 @@ def wand_shard_metrics(
     # single-term bm25 routes through the block-max-pruned path below
     # (mirrors wand_shard_topk / wand_shard_topk_count routing so the
     # decode counters replay the serving kernels' decisions)
-    if conjunctive and not (mode == "bm25" and len(lists) == 1):
+    if conjunctive and not (mode in PRUNABLE_MODES and len(lists) == 1):
         lists.sort(key=lambda t: t.n)
         cand = lists[0].decode_all()[0]
         if allowed is not None:
@@ -1010,7 +1164,7 @@ def wand_shard_metrics(
     shortest = min(lists, key=lambda t: t.n)
     theta = (
         _theta_seed(shortest, k, allowed, excluded)
-        if mode == "bm25" else 0.0
+        if mode in PRUNABLE_MODES else 0.0
     )
     cand = _disjunctive_candidates(lists, theta)
     if allowed is not None:
@@ -1039,12 +1193,14 @@ def search_packed_metrics(
     n_shards: int | None = None,
     excluded_doc_ids: list[int] | None = None,
     boosts: dict | None = None,
+    field_weights: dict | None = None,
 ) -> DataFrame:
     """Per-shard pruning/decode counters for a query (see
     wand_shard_metrics) → DataFrame(METRICS_OUT_SCHEMA), one row per
     shard holding any query-term postings. Same plan shape as
     search_packed — term-pruned scan, one kernel per shard — so the
     counters describe exactly the work the serving path would do."""
+    fweights = _resolve_fweights(mode, field_weights)
     lemmas = lemmatize_query(query)
     terms = (
         _resolve_terms(term_stats, n_docs, lemmas, max_rel_freq, df_map)
@@ -1064,7 +1220,8 @@ def search_packed_metrics(
         return seg.groupBy("shard").applyInPandas(
             lambda pdf: wand_shard_metrics(pdf, n_docs, avgdl, k,
                                            conjunctive, n_terms, mode,
-                                           excluded=exc, boosts=boosts),
+                                           excluded=exc, boosts=boosts,
+                                           fweights=fweights),
             schema=METRICS_OUT_SCHEMA,
         )
     if doc_stats is None:
@@ -1081,7 +1238,8 @@ def search_packed_metrics(
         )
         return wand_shard_metrics(seg_pdf, n_docs, avgdl, k, conjunctive,
                                   n_terms, mode, allowed=allowed,
-                                  excluded=exc, boosts=boosts)
+                                  excluded=exc, boosts=boosts,
+                                  fweights=fweights)
 
     return (
         seg.groupby("shard")
@@ -1187,6 +1345,7 @@ def search_packed_fused(
     collapse_n: int | None = None,
     site_map: DataFrame | None = None,
     boosts: dict | None = None,
+    field_weights: dict | None = None,
 ) -> tuple[list[tuple[int, float]], int]:
     """ONE kernel pass per shard serving BOTH the ranked page and the
     pre-pagination match count → ([(doc_id, score)] already
@@ -1228,9 +1387,13 @@ def search_packed_fused(
         )
     if offset > MAX_OFFSET:
         raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
-    if boosts and (mode != "bm25" or any(w <= 0 for w in boosts.values())):
+    if boosts and (
+        mode not in PRUNABLE_MODES
+        or any(w <= 0 for w in boosts.values())
+    ):
         raise ValueError(
-            f"boosts need bm25 mode and weights > 0 (mode={mode}, {boosts})"
+            f"boosts need bm25/bm25f mode and weights > 0 "
+            f"(mode={mode}, {boosts})"
         )
     if collapse_n is not None:
         if collapse_n < 1:
@@ -1244,6 +1407,7 @@ def search_packed_fused(
             raise ValueError(
                 "collapse needs site_map (site_map_frame) or doc_stats"
             )
+    fweights = _resolve_fweights(mode, field_weights)
     if lemmas is None:
         lemmas = lemmatize_query(query)
     if not lemmas:
@@ -1275,7 +1439,7 @@ def search_packed_fused(
                 seg_pdf, n_docs, avgdl, k_eff, conjunctive, n_terms, mode,
                 excluded=exc,
                 collapse=(collapse_n, ids[order], sids[order]),
-                boosts=boosts,
+                boosts=boosts, fweights=fweights,
             )
 
         per_shard = (
@@ -1293,7 +1457,8 @@ def search_packed_fused(
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: wand_shard_topk_count(pdf, n_docs, avgdl, k_eff,
                                               conjunctive, n_terms, mode,
-                                              excluded=exc, boosts=boosts),
+                                              excluded=exc, boosts=boosts,
+                                              fweights=fweights),
             schema=FUSED_OUT_SCHEMA,
         )
     else:
@@ -1315,7 +1480,7 @@ def search_packed_fused(
             return wand_shard_topk_count(seg_pdf, n_docs, avgdl, k_eff,
                                          conjunctive, n_terms, mode,
                                          allowed=allowed, excluded=exc,
-                                         boosts=boosts)
+                                         boosts=boosts, fweights=fweights)
 
         per_shard = (
             seg.groupby("shard")
@@ -1355,6 +1520,7 @@ def search_packed(
     site_map: DataFrame | None = None,
     boosts: dict | None = None,
     after: tuple[float, int] | None = None,
+    field_weights: dict | None = None,
 ) -> DataFrame:
     """Top-k over the packed index → DataFrame(doc_id, score).
 
@@ -1417,14 +1583,19 @@ def search_packed(
         )
     if offset > MAX_OFFSET:
         raise ValueError(f"offset {offset} > MAX_OFFSET {MAX_OFFSET}")
-    if boosts and (mode != "bm25" or any(w <= 0 for w in boosts.values())):
+    if boosts and (
+        mode not in PRUNABLE_MODES
+        or any(w <= 0 for w in boosts.values())
+    ):
         raise ValueError(
-            f"boosts need bm25 mode and weights > 0 (mode={mode}, {boosts})"
+            f"boosts need bm25/bm25f mode and weights > 0 "
+            f"(mode={mode}, {boosts})"
         )
     if after is not None and (offset or collapse_n is not None):
         raise ValueError(
             "search_after replaces offset and cannot combine with collapse"
         )
+    fweights = _resolve_fweights(mode, field_weights)
     if collapse_n is not None:
         hits, _ = search_packed_fused(
             spark, segments, term_stats, n_docs, avgdl, query, k=k,
@@ -1432,6 +1603,7 @@ def search_packed(
             df_map=df_map, mode=mode, offset=offset, doc_stats=doc_stats,
             n_shards=n_shards, excluded_doc_ids=excluded_doc_ids,
             collapse_n=collapse_n, site_map=site_map, boosts=boosts,
+            field_weights=field_weights,
         )
         if not hits:
             return empty_df(spark, "doc_id long, score double")
@@ -1458,7 +1630,7 @@ def search_packed(
             lambda pdf: wand_shard_topk(pdf, n_docs, avgdl, k_eff,
                                         conjunctive, n_terms, mode,
                                         excluded=exc, boosts=boosts,
-                                        after=after),
+                                        after=after, fweights=fweights),
             schema=TOPK_OUT_SCHEMA,
         )
     else:
@@ -1484,7 +1656,8 @@ def search_packed(
             return wand_shard_topk(seg_pdf, n_docs, avgdl, k_eff,
                                    conjunctive, n_terms, mode,
                                    allowed=allowed, excluded=exc,
-                                   boosts=boosts, after=after)
+                                   boosts=boosts, after=after,
+                                   fweights=fweights)
 
         per_shard = (
             seg.groupby("shard")

@@ -41,12 +41,31 @@ from pyspark.sql import functions as F
 
 BM25F_K1 = 1.2
 
+# Pack-time length-normalization slopes for the packed-index field
+# layer (index/segments.py): the per-block field-normalized maxima
+# that make BM25F block-max pruning possible are computed with THESE
+# b values at pack time, so the packed serving path (index/wand.py
+# mode="bm25f") normalizes with the same constants. Field WEIGHTS
+# stay query-time-free (w_f-scaled maxima remain sound bounds); the
+# slopes are baked like Lucene norms. The relational operator below
+# keeps arbitrary per-call bs.
+FIELD_B_BODY = 0.75  # == the BM25 b of the body scorer
+FIELD_B_TITLE = 0.5
+
 
 def field_norm_tf(tf: Column, flen: Column, avg_flen: Column,
                   weight: float, b: float) -> Column:
-    """One field's contribution to tf~: w·tf / (1 - b + b·len/avg)."""
-    return (tf * F.lit(weight)) / (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * flen / avg_flen
+    """One field's contribution to tf~: w · (tf / (1 - b + b·len/avg)).
+
+    The weight multiplies the NORMALIZED tf (w·(tf/norm), not
+    (w·tf)/norm) on purpose: the packed index stores per-block maxima
+    of tf/norm, and IEEE multiplication by a positive w is monotone,
+    so w·max_i(tf_i/norm_i) ≥ w·(tf_j/norm_j) holds BITWISE — the
+    block bound stays sound without any epsilon. (w·tf)/norm could
+    exceed w·(tf/norm) by an ulp and silently break pruning. The SQL
+    oracle (contract._SQL_BM25F) mirrors this literal structure."""
+    return F.lit(weight) * (
+        tf / (F.lit(1.0) - F.lit(b) + F.lit(b) * flen / avg_flen)
     )
 
 

@@ -81,6 +81,25 @@ INDEX_SEGMENTS_SCHEMA = T.StructType(
         T.StructField("block_off_ids", T.ArrayType(T.IntegerType()), False),
         T.StructField("block_off_tfs", T.ArrayType(T.IntegerType()), False),
         T.StructField("block_off_dls", T.ArrayType(T.IntegerType()), False),
+        # --- per-field TF layer (BM25F serving, index/wand mode="bm25f")
+        # Parallel varbyte streams aligned 1:1 with the postings: the
+        # doc's TITLE-field tf for this term (mostly 0 — varbyte spends
+        # 1 byte per zero) and the doc's title length. Per-block maxima
+        # of the FIELD-NORMALIZED tf (tf_f / (1-b_f+b_f·len_f/avg_f),
+        # slopes fixed at pack time — operators/fielded.FIELD_B_*) let
+        # the kernel build a sound BM25F block bound for ANY query-time
+        # field weights: x̄ = w_b·max_bnorm + w_t·max_tnorm dominates
+        # every posting's x, and the saturation is monotone. `avgtl`
+        # rides per row (like df) so serving needs no side lookup.
+        # Nullable: segments packed before this layer existed read as
+        # null and mode="bm25f" fails with a clear error.
+        T.StructField("tfs_title", T.BinaryType(), True),
+        T.StructField("title_lens", T.BinaryType(), True),
+        T.StructField("block_off_ttf", T.ArrayType(T.IntegerType()), True),
+        T.StructField("block_off_tls", T.ArrayType(T.IntegerType()), True),
+        T.StructField("block_max_bnorm", T.ArrayType(T.DoubleType()), True),
+        T.StructField("block_max_tnorm", T.ArrayType(T.DoubleType()), True),
+        T.StructField("avgtl", T.DoubleType(), True),
     ]
 )
 

@@ -138,10 +138,14 @@ class SearchService:
                collapse: int | None = None,
                synonyms: dict | None = None,
                synonym_weight: float = 0.5,
-               after: tuple | None = None) -> dict:
+               after: tuple | None = None,
+               field_weights: dict | None = None) -> dict:
         syn_key = (
             tuple(sorted((k, tuple(v)) for k, v in synonyms.items()))
             if synonyms else None
+        )
+        fw_key = (
+            tuple(sorted(field_weights.items())) if field_weights else None
         )
         return self._cached(
             # oversample only affects blended requests — keep it out of
@@ -150,13 +154,14 @@ class SearchService:
              conjunctive, blend,
              oversample if blend is not None else None, correct, collapse,
              syn_key, synonym_weight if synonyms else None,
-             tuple(after) if after else None),
+             tuple(after) if after else None, fw_key),
             lambda: self._search_uncached(
                 query, site=site, offset=offset, limit=limit,
                 snippets=snippets, mode=mode, conjunctive=conjunctive,
                 blend=blend, oversample=oversample, correct=correct,
                 collapse=collapse, synonyms=synonyms,
-                synonym_weight=synonym_weight, after=after),
+                synonym_weight=synonym_weight, after=after,
+                field_weights=field_weights),
         )
 
     def facets(self, query: str, top: int = 10,
@@ -295,6 +300,7 @@ class SearchService:
         synonyms: dict | None = None,
         synonym_weight: float = 0.5,
         after: tuple | None = None,
+        field_weights: dict | None = None,
     ) -> dict:
         """SearchResponse dict: {result, count, data:[{site, uri, url,
         doc_id, title, relevance[, snippet]}]}. `count` is the
@@ -359,8 +365,8 @@ class SearchService:
             # lemma the did-you-mean path corrects is dropped with it.
             query, parsed = parse_boosted_query(query)
             boosts = parsed or None
-            if boosts and mode != "bm25":
-                raise ValueError("term^w boosts need bm25 mode")
+            if boosts and mode not in ("bm25", "bm25f"):
+                raise ValueError("term^w boosts need bm25/bm25f mode")
         q_lemmas = lemmatize_query(query)
         corrections: dict[str, str] = {}
         if correct:
@@ -398,7 +404,7 @@ class SearchService:
                 conjunctive=conjunctive, df_map=self.df_map,
                 doc_stats=self.serve_meta, n_shards=self.n_shards,
                 excluded_doc_ids=self.tombstoned, boosts=boosts,
-                after=cur,
+                after=cur, field_weights=field_weights,
             ).collect()
             hits = [(r["doc_id"], r["score"]) for r in rows]
             # the match count is cursor-INDEPENDENT (same total for
@@ -434,7 +440,7 @@ class SearchService:
                 site_map=(
                     self._get_site_map() if collapse is not None else None
                 ),
-                boosts=boosts,
+                boosts=boosts, field_weights=field_weights,
             )
             # seed the cursor-count cache from the fused page-1 count
             # so a page-walk's page >= 2 runs ONE kernel (top-k only).
@@ -593,6 +599,7 @@ class SearchService:
         site: str | None = None,
         conjunctive: bool = True,
         mode: str = "bm25",
+        field_weights: dict | None = None,
     ) -> dict:
         """Query-execution observability: what the WAND kernels would
         do for this request — resolved terms (post stop-filter and
@@ -612,11 +619,11 @@ class SearchService:
         if "^" in query:
             query, parsed = parse_boosted_query(query)
             boosts = parsed or None
-            if boosts and mode != "bm25":
+            if boosts and mode not in ("bm25", "bm25f"):
                 # mirror search(): fail driver-side with a clean error
                 # instead of a ValueError inside the executor pandas
                 # UDF (opaque PythonException)
-                raise ValueError("term^w boosts need bm25 mode")
+                raise ValueError("term^w boosts need bm25/bm25f mode")
         lemmas = lemmatize_query(query)
         terms = _resolve_terms(
             self.term_stats, self.n_docs, lemmas, 0.95, self.df_map
@@ -642,7 +649,7 @@ class SearchService:
             self.avgdl, query, k=limit, conjunctive=conjunctive,
             mode=mode, site=site, df_map=self.df_map, boosts=boosts,
             doc_stats=self.serve_meta, n_shards=self.n_shards,
-            excluded_doc_ids=self.tombstoned,
+            excluded_doc_ids=self.tombstoned, field_weights=field_weights,
         ).collect()
         out["shards"] = len(rows)
         for f in ("n_postings", "n_blocks", "n_blocks_decoded",

@@ -456,3 +456,39 @@ def test_fuzzy_key_index_cached_and_invalidated(spark, served):
     # the fresh page's OOV term is reachable through the NEW key table
     got = svc.suggest("свежайшийтермины", topn=3)
     assert any(e["term"] == "свежайшийтермин" for e in got)
+
+
+def test_search_bm25f_mode(spark, served):
+    """mode='bm25f' serves field-weighted ranking from the packed
+    field layer: the MATCH SET and count are mode-independent (scoring
+    never changes who matches), title weighting reorders within it,
+    boosts compose, and bad field_weights fail driver-side."""
+    svc, _, _ = served
+    q = "быстрый поиск"
+    b = svc.search(q, conjunctive=False, limit=500)
+    f = svc.search(q, conjunctive=False, limit=500, mode="bm25f")
+    assert f["count"] == b["count"]
+    assert {d["doc_id"] for d in f["data"]} == {
+        d["doc_id"] for d in b["data"]
+    }
+    # deterministic ranking: score desc, doc_id asc
+    key = [(-d["relevance"], d["doc_id"]) for d in f["data"]]
+    assert key == sorted(key)
+    # a different title weight is a different cached response
+    f8 = svc.search(q, conjunctive=False, limit=500, mode="bm25f",
+                    field_weights={"body": 1.0, "title": 8.0})
+    assert f8["count"] == f["count"]
+    assert any(
+        a["relevance"] != c["relevance"]
+        for a, c in zip(f["data"], f8["data"])
+    )
+    # term^w boosts compose with bm25f
+    lem = next(iter({d for d in q.split()}))
+    boosted = svc.search(f"{q.split()[0]}^3 {q.split()[1]}",
+                         conjunctive=False, limit=5, mode="bm25f")
+    assert boosted["count"] > 0 and boosted["data"]
+    with pytest.raises(ValueError, match="field_weights"):
+        svc.search(q, field_weights={"title": 2.0})  # needs bm25f
+    with pytest.raises(ValueError, match="> 0"):
+        svc.search(q, mode="bm25f", conjunctive=False,
+                   field_weights={"title": 0.0})
