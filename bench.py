@@ -434,6 +434,81 @@ def main() -> None:
                                constants=(n_docs, avgdl)).collect()
     )
 
+    # ---- pruning payoff at a realistic dictionary shape (VERDICT r4 #5) ----
+    # The webtext word pools give every posting list a couple of
+    # blocks, so the headline wand_blocks_decoded_pct sits near 100
+    # regardless of the pruning machinery. This stage runs the SAME
+    # kernels over a Zipf(s=1) synthetic-vocabulary corpus
+    # (sources/corpus.zipf_corpus_df: genuinely rare terms next to
+    # many-dozen-block common lists — the dictionary shape block-max
+    # pruning exists for) and reports decoded% for the query shapes it
+    # targets: rare∧common (lazy candidate lookup) and rare∨common
+    # top-k (θ-seed + essential-list cut + aligned block bounds).
+    from searchengine_spark.operators.postings import build_index
+    from searchengine_spark.sources.corpus import zipf_corpus_df
+
+    n_zipf = int(os.environ.get(
+        "BENCH_ZIPF_DOCS", str(max(10_000, min(30_000, n_web // 3)))
+    ))
+    zdocs = zipf_corpus_df(spark, n_zipf, vocab=20_000).cache()
+    zdocs.count()
+    zidx = build_index(zdocs, use_html=False)
+    for t_ in (zidx.postings, zidx.doc_stats, zidx.term_stats):
+        t_.cache().count()
+    zn, zavgdl = rsearch.corpus_constants(zidx.doc_stats)
+    t0 = time.monotonic()
+    # 4 shards: rare terms keep >= k postings per shard, so the θ-seed
+    # is live (the per-shard seed is provably 0 when the shard slice
+    # of the shortest list has < k postings — over-sharding a small
+    # corpus turns pruning off, which is a TUNING fact, not a bug)
+    write_segments(build_segments(zidx, zn, zavgdl, n_shards=4),
+                   f"{tmp}/zipfseg")
+    queries["zipf_pack"] = time.monotonic() - t0  # single-pass (setup)
+    zseg = spark.read.parquet(f"{tmp}/zipfseg").cache()
+    zseg.count()
+    zdfm = {r["term"]: r["df"] for r in zidx.term_stats.collect()}
+    zcand = sorted(zdfm.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def _pick(target: int) -> str:
+        # deterministic df-targeted term choice (ties: term asc)
+        return min(zcand, key=lambda kv: (abs(kv[1] - target), kv[0]))[0]
+
+    z_common = _pick(int(0.75 * zn))   # many-block list, low idf
+    z_rare = _pick(max(40, zn // 375))  # high idf; >= k per shard
+    zipf_pcts: dict[str, float] = {}
+    zdec = ztot = 0
+    for zname, zq, zconj, in_headline in (
+        ("zipf_rare_and_common", f"{z_rare} {z_common}", True, True),
+        ("zipf_rare_or_common", f"{z_rare} {z_common}", False, True),
+        ("zipf_common_topk", z_common, False, False),
+    ):
+        queries[zname] = timed(
+            lambda: wand.search_packed(
+                spark, zseg, zidx.term_stats, zn, zavgdl, zq, k=10,
+                conjunctive=zconj, df_map=zdfm,
+            ).collect()
+        )
+        zrows = wand.search_packed_metrics(
+            spark, zseg, zidx.term_stats, zn, zavgdl, zq, k=10,
+            conjunctive=zconj, df_map=zdfm,
+        ).collect()
+        d = sum(r["n_blocks_decoded"] for r in zrows)
+        t = sum(r["n_blocks"] for r in zrows)
+        zipf_pcts[zname] = round(100.0 * d / t, 2) if t else 0.0
+        if in_headline:
+            zdec += d
+            ztot += t
+    # headline number = the two shapes pruning exists for; the
+    # single-common-term pct is reported alongside for honesty (its
+    # block maxima are flat, so θ can cut less there)
+    zipf_blocks_decoded_pct = (
+        round(100.0 * zdec / ztot, 2) if ztot else 0.0
+    )
+    zseg.unpersist()
+    zdocs.unpersist()
+    for t_ in (zidx.postings, zidx.doc_stats, zidx.term_stats):
+        t_.unpersist()
+
     # ---- headline contract queries on the driver tables --------------------
     # r1-comparable set FIRST, heavy pipeline queries LAST (isolation)
     light = (
@@ -520,6 +595,11 @@ def main() -> None:
         "service_p50_sec": round(pctl(svc_lat, 0.50), 4),
         "service_p95_sec": round(pctl(svc_lat, 0.95), 4),
         "wand_blocks_decoded_pct": blocks_decoded_pct,
+        "zipf_blocks_decoded_pct": zipf_blocks_decoded_pct,
+        "zipf_blocks_decoded_by_query": zipf_pcts,
+        "zipf_terms": {"common": z_common, "rare": z_rare,
+                       "common_df": zdfm[z_common], "rare_df": zdfm[z_rare],
+                       "docs": n_zipf},
         "noise_protocol": (
             f"min-of-{runs} per query (build/pack converge-min "
             "2-4 passes — repeat while a pass improves the best by "

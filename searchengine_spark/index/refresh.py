@@ -214,16 +214,15 @@ def refresh_and_repack(
 
     title_side = title_field_side(live.select("doc_id", "title")).cache()
     avgtl = _avgtl_of(title_side, n_docs)
+    from .segments import pack_segments_frame
+
     enriched = _with_title_cols(
         cur.select("term", "shard", "doc_id", "tf")
         .join(dl, "doc_id")
         .join(term_stats.select("term", "df"), "term"),
         title_side,
     )
-    repacked = enriched.groupBy("term", "shard").applyInPandas(
-        lambda pdf: _pack_group(pdf, n_docs, avgdl, run_id, avgtl=avgtl),
-        schema=INDEX_SEGMENTS_SCHEMA,
-    )
+    repacked = pack_segments_frame(enriched, n_docs, avgdl, run_id, avgtl)
     tmp = f"{seg_path}.refreshing"
     (
         repacked.repartition("shard")

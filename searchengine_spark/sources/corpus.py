@@ -223,3 +223,70 @@ def write_corpus(spark, n_docs: int, path: str,
     corpus_df(spark, n_docs, words_scale=words_scale).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Zipf-vocabulary corpus (pruning-bench shape)
+# ---------------------------------------------------------------------------
+
+_ZIPF_CDF_CACHE: dict[int, np.ndarray] = {}
+
+
+def _zipf_cdf(vocab: int) -> np.ndarray:
+    cdf = _ZIPF_CDF_CACHE.get(vocab)
+    if cdf is None:
+        p = 1.0 / np.arange(1, vocab + 1, dtype=np.float64)
+        cdf = np.cumsum(p / p.sum())
+        _ZIPF_CDF_CACHE[vocab] = cdf
+    return cdf
+
+
+def zipf_corpus_df(spark, n_docs: int, vocab: int = 50_000,
+                   min_len: int = 60, max_len: int = 180,
+                   n_partitions: int | None = None):
+    """Text-only corpus (input_hint shape, html=NULL) over a SYNTHETIC
+    Zipf(s=1) vocabulary ``w00000..w{V-1}`` — the realistic dictionary
+    shape the small webtext word pools cannot produce: genuinely rare
+    terms (tail ranks, a handful of postings) next to many-block common
+    lists (head ranks, 10^4-10^5 postings). This is the corpus the
+    block-max pruning machinery exists for; the bench's pruning stage
+    measures wand_blocks_decoded_pct over it (VERDICT r4 #5 — at the
+    webtext dictionary every list is a couple of blocks and pruning is
+    measured near-inert).
+
+    Deterministic per row id (derived seeds, no wall clock); tokens are
+    ``[a-z0-9]+`` so the analyzer keeps them whole as identity lemmas.
+    Draws are one vectorized searchsorted over a cached cdf per doc —
+    generation stays embarrassingly parallel."""
+    from ..schemas import DOCS_SCHEMA
+
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            cdf = _zipf_cdf(vocab)
+            rows = []
+            for rid in pdf["id"].tolist():
+                rng = np.random.RandomState(
+                    (SEED * 1_000_003 + rid) % (2**31 - 1)
+                )
+                n = int(rng.randint(min_len, max_len + 1))
+                ids = np.searchsorted(cdf, rng.rand(n))
+                rows.append(
+                    {
+                        "url": (
+                            f"https://zipf{rid % N_SITES}.example/"
+                            f"page{rid}"
+                        ),
+                        "warc_ts": _BASE_TS + dt.timedelta(seconds=int(rid)),
+                        "html": None,
+                        "text": " ".join(f"w{i:05d}" for i in ids),
+                        "lang": "en",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_docs, numPartitions=n_partitions)
+        .mapInPandas(gen, schema=DOCS_SCHEMA)
+    )

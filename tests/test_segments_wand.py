@@ -253,3 +253,64 @@ def test_wand_allow_and_deny_compose(seed, conjunctive, pct_a, pct_e):
     assert [d for _, d in got] == [d for _, d in want]
     for (gs, _), (ws, _) in zip(got, want):
         assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_bulk_pack_equals_group_pack_with_tiny_arrow_batches(
+    spark, corpus_small
+):
+    """pack_segments_frame (one hash repartition + sorted mapInPandas
+    walk — the bulk path that removes the ~1 ms/group pandas overhead
+    applyInPandas pays) is BYTE-identical to the per-group kernel,
+    including when (term, shard) groups span Arrow batch boundaries —
+    forced here with maxRecordsPerBatch=7 so nearly every group is
+    carry-stitched across batches."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.index import segments as SG
+    from searchengine_spark.operators import postings as P
+    from searchengine_spark.operators import search as S
+    from searchengine_spark.schemas import INDEX_SEGMENTS_SCHEMA
+
+    idx = P.build_index(corpus_small.limit(120), use_html=True)
+    n, avgdl = S.corpus_constants(idx.doc_stats)
+    tside = SG.title_field_side(idx.doc_stats.select("doc_id", "title"))
+    avgtl = SG._avgtl_of(tside, n)
+    enriched = SG._with_title_cols(
+        idx.postings
+        .join(idx.doc_stats.select("doc_id", "doclen"), "doc_id")
+        .join(idx.term_stats.select("term", "df"), "term"),
+        tside,
+    ).withColumn("shard", F.pmod(F.hash("doc_id"), F.lit(3)).cast("int"))
+    want = sorted(
+        (r["term"], r["shard"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+         bytes(r["doclens"]), bytes(r["tfs_title"]), bytes(r["title_lens"]),
+         tuple(r["block_last_doc"]), tuple(r["block_max_score"]),
+         tuple(r["block_max_bnorm"]), tuple(r["block_max_tnorm"]),
+         tuple(r["block_off_ids"]), tuple(r["block_off_tfs"]),
+         tuple(r["block_off_dls"]), tuple(r["block_off_ttf"]),
+         tuple(r["block_off_tls"]), r["avgtl"], r["df"], r["n_docs"])
+        for r in enriched.groupBy("term", "shard").applyInPandas(
+            lambda pdf: SG._pack_group(pdf, n, avgdl, 0, avgtl=avgtl),
+            schema=INDEX_SEGMENTS_SCHEMA,
+        ).collect()
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, "10000")
+    spark.conf.set(key, "7")
+    try:
+        got = sorted(
+            (r["term"], r["shard"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+             bytes(r["doclens"]), bytes(r["tfs_title"]),
+             bytes(r["title_lens"]),
+             tuple(r["block_last_doc"]), tuple(r["block_max_score"]),
+             tuple(r["block_max_bnorm"]), tuple(r["block_max_tnorm"]),
+             tuple(r["block_off_ids"]), tuple(r["block_off_tfs"]),
+             tuple(r["block_off_dls"]), tuple(r["block_off_ttf"]),
+             tuple(r["block_off_tls"]), r["avgtl"], r["df"], r["n_docs"])
+            for r in SG.pack_segments_frame(
+                enriched, n, avgdl, 0, avgtl
+            ).collect()
+        )
+    finally:
+        spark.conf.set(key, prev)
+    assert len(got) == len(want) and got == want
