@@ -1695,6 +1695,35 @@ def _hits_oracle() -> str:
 _REG["q_hits"] = (q_hits, _hits_oracle())
 
 
+# web-scale variant (VERDICT r4 #7): per-round floor-div L1 quantized
+# normalization removes the exact form's N^(2t) < 2^63 bound. The
+# contract runs it at scale=1000 so the quantization ACTUALLY fires at
+# sf scale (half-round sums exceed 1000 from round 1) and the oracle
+# pins the floor-div arithmetic cross-engine; n_iter=3 — one more
+# round than the exact form can afford at web N
+@_reg("q_hits_normalized", None)
+def q_hits_normalized(spark, sf_dir):
+    from .operators.linkgraph import hits_normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    return hits_normalized(
+        _pr_edges(docs), docs.select(F.col("doc_id").alias("node")),
+        n_iter=3, scale=1000,
+    )
+
+
+def _hits_normalized_oracle() -> str:
+    from .operators.linkgraph import hits_normalized_oracle_sql
+
+    return hits_normalized_oracle_sql(
+        _PR_EDGES_SQL, "SELECT doc_id AS node FROM documents",
+        n_iter=3, scale=1000,
+    )
+
+
+_REG["q_hits_normalized"] = (q_hits_normalized, _hits_normalized_oracle())
+
+
 # -- more-like-this: document-similarity retrieval ----------------------------
 # Lucene MoreLikeThis shape (operators/mlt.py): the source doc's top-m
 # terms by tf·ln(n/df) (e4 fixed-point weight, term ASC tie-break)
@@ -1964,6 +1993,7 @@ def q_bm25f_title(spark, sf_dir):
 _PRIORITY = [
     # NEW this round (r5) — must receive a correctness row
     # (new entries are inserted here as they land)
+    "q_hits_normalized",
     # r5 rotation (VERDICT r4 #4, standing alternation policy: every
     # entry driver-green in any two consecutive rounds): the 30
     # entries whose latest driver row is r3 move into the head-50;

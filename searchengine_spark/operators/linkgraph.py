@@ -244,9 +244,9 @@ def hits(
     a DuckDB oracle (``hits_oracle_sql``) reproduces them
     bit-for-bit. Overflow bound: values ≤ N^(2·n_iter); callers need
     N^(2·n_iter) < 2^63 (N ≤ 55k at the default 2 rounds). At true
-    web scale, divide both frames by a per-round floor-div L1
-    normalizer — the ranking property is unchanged; this sandbox keeps
-    the division-free exact form the oracle can replay verbatim.
+    web scale use ``hits_normalized`` — the per-round floor-div L1
+    quantized variant (bit-equal to this form whenever every
+    half-round sum stays under its ``scale``).
 
     Two shuffles per round over the edge list (dst-keyed then
     src-keyed aggregation); edges materialize once; each frame is
@@ -286,6 +286,136 @@ def hits(
         )
     return h.join(a, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    )
+
+
+def hits_normalized(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 2,
+    node_col: str = "node",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Web-scale HITS (VERDICT r4 #7): the per-round floor-div L1
+    quantized normalization the exact form's docstring names, removing
+    its N^(2·n_iter) < 2^63 bound.
+
+    Each half-round computes the raw BIGINT sums exactly like ``hits``,
+    then quantizes: with S = Σ_v raw(v) (a one-row in-plan broadcast —
+    nothing corpus-sized collects) and divisor d = S // scale + 1,
+
+        value(v) = raw(v) // d   (< scale, since d > S/scale ≥ raw/scale)
+
+    All arithmetic stays in BIGINT — d is chosen as a DIVISOR instead
+    of computing floor(raw·scale/S), whose raw·scale intermediate
+    would need 128-bit. Overflow bound after quantization: every value
+    ≤ scale, so the next half-round's sums are ≤ |E|·scale — the
+    caller needs |E| · scale < 2^63 (9.2e9 edges at the default
+    scale=1e9; lower ``scale`` for denser graphs). S < scale ⇒ d = 1
+    ⇒ the round is EXACTLY the un-normalized recurrence, so on graphs
+    whose every half-round sum stays under ``scale`` this function is
+    bit-equal to ``hits`` (pinned in tests).
+
+    Quantization semantics: within one half-round, raw(v1) ≥ raw(v2)
+    ⇒ value(v1) ≥ value(v2) (floor-div by a shared positive d is
+    monotone) — quantization can only CREATE ties in that round, never
+    invert an order; across rounds the recurrences diverge from the
+    exact form by design (that is what keeps the integers bounded).
+    Deterministic integer math end-to-end — the DuckDB WITH-chain
+    (``hits_normalized_oracle_sql``) replays it bit-for-bit.
+
+    Same plan shape as ``hits``: two keyed aggregations per round plus
+    one scalar aggregate per half-round; frames checkpointed so round
+    k never re-executes k-1."""
+    if scale < 2:
+        raise ValueError(f"scale must be >= 2 (got {scale})")
+    edges = edges.select("src", "dst").localCheckpoint()
+    base = nodes.select(F.col(node_col).alias("node"))
+    h = base.select("node", F.lit(1).cast("long").alias("h"))
+    a = base.select("node", F.lit(0).cast("long").alias("a"))
+
+    def _quant(frame: DataFrame, col: str) -> DataFrame:
+        s = frame.agg(
+            F.coalesce(F.sum(col), F.lit(0)).cast("long").alias("s")
+        )
+        d = s.select(
+            (F.expr(f"s div {int(scale)}") + F.lit(1)).alias("d")
+        )
+        return frame.crossJoin(F.broadcast(d)).select(
+            "node", F.expr(f"{col} div d").cast("long").alias(col)
+        )
+
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a = _quant(
+            base.join(a_raw, base["node"] == a_raw["dst"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("a_raw"), F.lit(0)).cast("long")
+                .alias("a"),
+            ),
+            "a",
+        ).localCheckpoint()
+        h_raw = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h = _quant(
+            base.join(h_raw, base["node"] == h_raw["src"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("h_raw"), F.lit(0)).cast("long")
+                .alias("h"),
+            ),
+            "h",
+        ).localCheckpoint()
+    return h.join(a, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    )
+
+
+def hits_normalized_oracle_sql(
+    edges_cte: str, nodes_cte: str, n_iter: int = 2, scale: int = 10**9
+) -> str:
+    """DuckDB WITH-chain unrolling the quantized ``hits_normalized``
+    recurrence — bit-identical: both sides only sum BIGINTs and
+    floor-divide by the same shared divisor (DuckDB ``//`` == Spark
+    ``div`` on non-negative BIGINTs)."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        f"nodes AS ({nodes_cte})",
+        "h0 AS (SELECT node, 1::BIGINT AS h FROM nodes)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts += [
+            f"a{t}raw AS (SELECT n.node,"
+            f" coalesce(sum(x.h), 0)::BIGINT AS a"
+            f" FROM nodes n LEFT JOIN (SELECT e.dst AS d, h.h"
+            f" FROM edges e JOIN h{t - 1} h ON e.src = h.node) x"
+            f" ON x.d = n.node GROUP BY n.node)",
+            f"a{t}d AS (SELECT coalesce(sum(a), 0)::BIGINT // {scale}"
+            f" + 1 AS d FROM a{t}raw)",
+            f"a{t} AS (SELECT node, (a // d)::BIGINT AS a"
+            f" FROM a{t}raw CROSS JOIN a{t}d)",
+            f"h{t}raw AS (SELECT n.node,"
+            f" coalesce(sum(x.a), 0)::BIGINT AS h"
+            f" FROM nodes n LEFT JOIN (SELECT e.src AS s, a.a"
+            f" FROM edges e JOIN a{t} a ON e.dst = a.node) x"
+            f" ON x.s = n.node GROUP BY n.node)",
+            f"h{t}d AS (SELECT coalesce(sum(h), 0)::BIGINT // {scale}"
+            f" + 1 AS d FROM h{t}raw)",
+            f"h{t} AS (SELECT node, (h // d)::BIGINT AS h"
+            f" FROM h{t}raw CROSS JOIN h{t}d)",
+        ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.node, h.h AS hub, a.a AS auth"
+        f" FROM h{n_iter} h JOIN a{n_iter} a USING (node)"
     )
 
 

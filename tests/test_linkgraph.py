@@ -234,3 +234,107 @@ def test_hits_random_graph_matches_reference(spark, seed):
     }
     h, a = _py_hits(edges, nodes, n_iter)
     assert got == {v: (h[v], a[v]) for v in nodes}
+
+
+# ---------------------------------------------------------------------------
+# hits_normalized (web-scale variant, VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+
+def _py_hits_normalized(edges, nodes, n_iter, scale):
+    """Driver-side reference of the quantized recurrence."""
+    h = {v: 1 for v in nodes}
+    a = {v: 0 for v in nodes}
+
+    def quant(vals):
+        s = sum(vals.values())
+        d = s // scale + 1
+        return {v: x // d for v, x in vals.items()}
+
+    for _ in range(n_iter):
+        a = {v: 0 for v in nodes}
+        for s_, d_ in edges:
+            a[d_] += h[s_]
+        a = quant(a)
+        h = {v: 0 for v in nodes}
+        for s_, d_ in edges:
+            h[s_] += a[d_]
+        h = quant(h)
+    return h, a
+
+
+@pytest.mark.parametrize("seed,scale", [(3, 10), (77, 100), (555, 7),
+                                        (12321, 1000)])
+def test_hits_normalized_random_graph_matches_reference(spark, seed, scale):
+    """Quantized HITS == the python reference exactly, at scales small
+    enough that the floor-div normalization fires every round."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    n = rng.randint(2, 20)
+    n_iter = rng.randint(1, 4)
+    nodes = [f"n{i}" for i in range(n)]
+    possible = [(x, y) for x in nodes for y in nodes if x != y]
+    edges = sorted(rng.sample(possible, rng.randint(0, len(possible))))
+    edges_df = spark.createDataFrame(
+        edges or [], "src string, dst string"
+    )
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    from searchengine_spark.operators.linkgraph import hits_normalized
+
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_normalized(
+            edges_df, nodes_df, n_iter, scale=scale
+        ).collect()
+    }
+    h, a = _py_hits_normalized(edges, nodes, n_iter, scale)
+    assert got == {v: (h[v], a[v]) for v in nodes}
+
+
+@pytest.mark.parametrize("seed", [3, 555])
+def test_hits_normalized_equals_exact_when_in_bound(spark, seed):
+    """With scale above every half-round sum, the divisor is 1 every
+    round and the quantized form is BIT-EQUAL to the exact
+    alternating-path-count form — the rank-equality pin VERDICT r4 #7
+    asks for, at its strongest (value equality)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    n = rng.randint(2, 15)
+    nodes = [f"n{i}" for i in range(n)]
+    possible = [(x, y) for x in nodes for y in nodes if x != y]
+    edges = sorted(rng.sample(possible, rng.randint(1, len(possible))))
+    edges_df = spark.createDataFrame(edges, "src string, dst string")
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    from searchengine_spark.operators.linkgraph import hits_normalized
+
+    exact = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(edges_df, nodes_df, 2).collect()
+    }
+    norm = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_normalized(
+            edges_df, nodes_df, 2, scale=10**15
+        ).collect()
+    }
+    assert norm == exact
+
+
+def test_hits_normalized_bounded_values(spark):
+    """Every emitted value stays < scale — the invariant that removes
+    the N^(2t) overflow bound (sums are then <= |E|·scale)."""
+    from searchengine_spark.operators.linkgraph import hits_normalized
+
+    nodes = [f"n{i}" for i in range(30)]
+    edges = [(a, b) for a in nodes for b in nodes if a != b]
+    edges_df = spark.createDataFrame(edges, "src string, dst string")
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    scale = 50
+    rows = hits_normalized(edges_df, nodes_df, 4, scale=scale).collect()
+    assert all(0 <= r["hub"] < scale and 0 <= r["auth"] < scale
+               for r in rows)
+    assert any(r["auth"] > 0 for r in rows)
+    with pytest.raises(ValueError, match="scale"):
+        hits_normalized(edges_df, nodes_df, 1, scale=1)
