@@ -439,11 +439,20 @@ def _site_of(ids: np.ndarray, map_ids: np.ndarray,
     return out
 
 
-def _site_cap_mask(sites: np.ndarray, n: int) -> np.ndarray:
+def _site_cap_mask(
+    sites: np.ndarray, n: int,
+    consumed: tuple[np.ndarray, np.ndarray] | None = None,
+) -> np.ndarray:
     """Boolean keep-mask implementing a per-site cap of `n` over rows
     ALREADY in rank order: row i is kept iff fewer than n earlier rows
     share its site. Vectorized occurrence-index computation (stable
-    sort by site preserves the rank order within each site group)."""
+    sort by site preserves the rank order within each site group).
+
+    `consumed` = (site_ids sorted unique, counts): per-site rows
+    already SERVED by earlier cursor pages (collapse-aware
+    search_after) — row i's effective cap becomes n - consumed(site_i)
+    (0 when saturated), so the post-cursor walk continues the same
+    stateful collapse the full ranking defines."""
     m = len(sites)
     if m == 0:
         return np.zeros(0, dtype=bool)
@@ -451,8 +460,19 @@ def _site_cap_mask(sites: np.ndarray, n: int) -> np.ndarray:
     s = sites[by_site]
     starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
     occ = np.arange(m) - np.repeat(starts, np.diff(np.r_[starts, m]))
+    if consumed is None:
+        cap = n
+    else:
+        c_ids, c_counts = consumed
+        used = np.zeros(m, dtype=np.int64)
+        if len(c_ids):
+            pos = np.searchsorted(c_ids, s)
+            pos_c = np.minimum(pos, len(c_ids) - 1)
+            hit = (pos < len(c_ids)) & (c_ids[pos_c] == s)
+            used[hit] = c_counts[pos_c[hit]]
+        cap = np.maximum(n - used, 0)
     keep = np.empty(m, dtype=bool)
-    keep[by_site] = occ < n
+    keep[by_site] = occ < cap
     return keep
 
 
@@ -537,6 +557,8 @@ def _theta_seed_after(
     lists: list["_TermList"], shortest: "_TermList", k: int,
     after: tuple[float, int], allowed: np.ndarray | None,
     excluded: np.ndarray | None,
+    collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
+    consumed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> float:
     """θ-seed for CURSOR pages: the plain seed is unsound here — a
     sample doc's single-term score lower-bounds its TOTAL, but a high
@@ -548,7 +570,19 @@ def _theta_seed_after(
     k-th best total. Soundness: any doc with total < θ is outranked by
     ≥ k after-cursor docs (strict score inequality — doc_id ties
     irrelevant), so it cannot reach the after-cursor top-k; a weaker
-    (subset) sample only lowers θ."""
+    (subset) sample only lowers θ.
+
+    With `collapse` (+ optional `consumed` budgets from earlier
+    pages), the sample is additionally per-site capped at the
+    REMAINING budget r_s = n - consumed(s) before the k-th selection
+    — the collapse-aware seed's argument lifted to exact totals: if
+    θ > total(d) for a doc d in the post-cursor COLLAPSED top-k, the
+    capped sample holds k after-cursor docs, ≤ r_s per site, each
+    with total ≥ θ > total(d); every contributing site's true
+    post-cursor top-r_s survivors then all outrank d, so ≥ k
+    collapse-kept post-cursor docs precede d — contradiction. An
+    uncapped sample is unsound for the same reason as in
+    _theta_seed."""
     if k <= 0:
         return 0.0
     nb = len(shortest.block_last)
@@ -569,7 +603,13 @@ def _theta_seed_after(
     for t in lists:
         sc, _ = t.lookup(ids)
         totals += sc
-    totals = totals[_after_mask(totals, ids, after)]
+    keep = _after_mask(totals, ids, after)
+    totals, ids = totals[keep], ids[keep]
+    if collapse is not None and len(totals):
+        n_cap, map_ids, map_sites = collapse
+        order = np.lexsort((ids, -totals))
+        sites = _site_of(ids[order], map_ids, map_sites)
+        totals = totals[order][_site_cap_mask(sites, n_cap, consumed)]
     if len(totals) <= k:
         return 0.0
     return float(np.partition(totals, -k)[-k])
@@ -729,6 +769,7 @@ def _empty_topk(k: int) -> pd.DataFrame:
 def _collapse_frame(
     cand: np.ndarray, scores: np.ndarray, n_hit: np.ndarray,
     collapse: tuple[int, np.ndarray, np.ndarray], k: int,
+    consumed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """Shard-local per-site collapse, then top-(k·n): rank all scored
     candidates (score desc, doc_id asc), keep at most n per site, cut
@@ -745,12 +786,18 @@ def _collapse_frame(
     shard-capped at n each, < (k-1)·n capped rows precede d. The
     driver merge then re-ranks ≤ shards·k·n rows and re-applies the
     cap globally — exact, with per-task and driver memory both
-    bounded (k·n, not corpus- or site-sized)."""
+    bounded (k·n, not corpus- or site-sized).
+
+    `consumed` (collapse-aware search_after): per-site caps become the
+    REMAINING budgets n - consumed(s) ≤ n. The k·n cut stays exact
+    under the same argument — every site contributing rows above d
+    still contributes ≤ its remaining cap ≤ n of them, and a site with
+    remaining budget ≥ 1 still has its post-cursor best survive."""
     n_cap = collapse[0]
     order = np.lexsort((cand, -scores))
     cand, scores, n_hit = cand[order], scores[order], n_hit[order]
     sites = _site_of(cand, collapse[1], collapse[2])
-    keep = _site_cap_mask(sites, n_cap)
+    keep = _site_cap_mask(sites, n_cap, consumed)
     cut = min(int(keep.sum()), k * n_cap)
     sel = np.flatnonzero(keep)[:cut]
     return pd.DataFrame(
@@ -763,13 +810,14 @@ def _collapse_frame(
 def _finalize(
     cand: np.ndarray, scores: np.ndarray, n_hit: np.ndarray, k: int,
     collapse: tuple[int, np.ndarray, np.ndarray] | None,
+    consumed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """Shared kernel exit: plain top-k, or collapse-aware top-(k·n)
     with site ids (schema differs — call sites pass the matching
     applyInPandas schema)."""
     if collapse is None:
         return _topk_frame(cand, scores, n_hit, k)
-    return _collapse_frame(cand, scores, n_hit, collapse, k)
+    return _collapse_frame(cand, scores, n_hit, collapse, k, consumed)
 
 
 def _empty_finalize(
@@ -789,6 +837,7 @@ def wand_shard_topk(
     boosts: dict | None = None,
     after: tuple[float, int] | None = None,
     fweights: tuple[float, float] | None = None,
+    consumed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """One shard's segments (all query terms) → shard-local top-k.
 
@@ -797,8 +846,12 @@ def wand_shard_topk(
     doc_id asc) are returned; the disjunctive θ is seeded by
     _theta_seed_after (exact sample totals, after-filtered — the plain
     single-term-score seed is unsound under a cursor, see there).
-    Unsupported with collapse (an exact collapsed cursor needs
-    per-site consumption state from earlier pages).
+    WITH collapse, a cursor additionally needs `consumed` — the
+    per-site counts of rows already served by earlier pages (the
+    stateful collapse walk's state; (sorted site_ids, counts) arrays)
+    — per-site caps become the remaining budgets and the θ-seed caps
+    its exact-totals sample the same way; after × collapse WITHOUT
+    consumed stays rejected.
     mode="legacy" scores sum(tf)/max(tf) (reference A3) — block-max
     pruning is disabled there (the block annotations bound BM25, not
     tf ratios); candidates are scored exhaustively.
@@ -825,8 +878,12 @@ def wand_shard_topk(
     delete-old-postings step, IndexingService.java:152, served without
     a rebuild). Subtracted from candidates before scoring; θ may only
     be seeded by servable docs (see _theta_seed)."""
-    if after is not None and collapse is not None:
-        raise ValueError("search_after and collapse cannot combine")
+    if after is not None and collapse is not None and consumed is None:
+        raise ValueError(
+            "search_after with collapse needs `consumed` — the "
+            "per-site served counts of earlier pages (an exact "
+            "collapsed cursor is stateful)"
+        )
     if allowed is not None and len(allowed) == 0:
         return _empty_finalize(k, collapse)
     lists = [
@@ -875,7 +932,7 @@ def wand_shard_topk(
         if after is not None:
             keep = _after_mask(scores, cand, after)
             cand, scores, n_hit = cand[keep], scores[keep], n_hit[keep]
-        return _finalize(cand, scores, n_hit, k, collapse)
+        return _finalize(cand, scores, n_hit, k, collapse, consumed)
 
     # disjunctive: essential-list cut + aligned block-max pruning
     # (_disjunctive_candidates), then exact scoring of survivors
@@ -886,7 +943,7 @@ def wand_shard_topk(
         theta = 0.0
     elif after is not None:
         theta = _theta_seed_after(lists, shortest, k, after,
-                                  allowed, excluded)
+                                  allowed, excluded, collapse, consumed)
     else:
         theta = _theta_seed(shortest, k_seed, allowed, excluded, collapse)
     cand = _disjunctive_candidates(lists, theta)
@@ -912,7 +969,7 @@ def wand_shard_topk(
     if after is not None:
         keep = _after_mask(scores, cand, after)
         cand, scores, n_hit = cand[keep], scores[keep], n_hit[keep]
-    return _finalize(cand, scores, n_hit, k, collapse)
+    return _finalize(cand, scores, n_hit, k, collapse, consumed)
 
 
 FUSED_OUT_SCHEMA = "doc_id long, score double, n_hit int, n_matched long"
@@ -927,6 +984,8 @@ def wand_shard_topk_count(
     collapse: tuple[int, np.ndarray, np.ndarray] | None = None,
     boosts: dict | None = None,
     fweights: tuple[float, float] | None = None,
+    after: tuple[float, int] | None = None,
+    consumed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """wand_shard_topk PLUS the shard's pre-top-k match count in the
     SAME pass (the reference response carries both the ranked page and
@@ -943,6 +1002,12 @@ def wand_shard_topk_count(
     an exact post-collapse count would need per-site match counts
     from every shard, an unbounded result set by design).
 
+    `after` (+ `consumed` when collapsed — wand_shard_topk documents
+    the pairing): cursor pagination in the SAME fused pass. The match
+    count stays CURSOR-INDEPENDENT (counted before the after-filter,
+    the same total every page reports); only the returned top-k rows
+    are after-filtered and remaining-cap collapsed.
+
     Multi-term disjunctive counting needs the full posting union, so
     block-max pruning buys nothing there: survivors are scored
     exhaustively. SINGLE-list queries are the exception — the count is
@@ -952,6 +1017,13 @@ def wand_shard_topk_count(
     pruned and exhaustive top-k agree; `tests/test_packed_spark.py`
     asserts the fused path against the two-kernel one on the full
     reference query set."""
+
+    if after is not None and collapse is not None and consumed is None:
+        raise ValueError(
+            "search_after with collapse needs `consumed` — the "
+            "per-site served counts of earlier pages (an exact "
+            "collapsed cursor is stateful)"
+        )
 
     def with_count(frame: pd.DataFrame, n: int) -> pd.DataFrame:
         frame = frame.copy()
@@ -1004,15 +1076,25 @@ def wand_shard_topk_count(
         else:
             n_match = t.n
         k_seed = k if collapse is None else k * collapse[0]
-        theta = _theta_seed(t, k_seed, allowed, excluded, collapse)
+        if after is not None:
+            # the plain seed is unsound under a cursor (high scores
+            # may sit BEFORE it) — use the exact-totals after seed
+            theta = _theta_seed_after([t], t, k, after, allowed,
+                                      excluded, collapse, consumed)
+        else:
+            theta = _theta_seed(t, k_seed, allowed, excluded, collapse)
         cand = _disjunctive_candidates([t], theta)
         if allowed is not None:
             cand = _intersect_sorted(cand, allowed)
         if excluded is not None:
             cand = _setdiff_sorted(cand, excluded)
         scores, present = t.lookup(cand)
+        n_hit = present.astype(np.int64)
+        if after is not None:
+            keep = _after_mask(scores, cand, after)
+            cand, scores, n_hit = cand[keep], scores[keep], n_hit[keep]
         return with_count(
-            _finalize(cand, scores, present.astype(np.int64), k, collapse),
+            _finalize(cand, scores, n_hit, k, collapse, consumed),
             n_match,
         )
 
@@ -1039,8 +1121,12 @@ def wand_shard_topk_count(
         if mode == "legacy":
             scores = scores / maxs
         n_hit = np.full(len(cand), len(lists), dtype=np.int64)
+        n_match = len(cand)  # count BEFORE the cursor filter
+        if after is not None:
+            keep = _after_mask(scores, cand, after)
+            cand, scores, n_hit = cand[keep], scores[keep], n_hit[keep]
         return with_count(
-            _finalize(cand, scores, n_hit, k, collapse), len(cand)
+            _finalize(cand, scores, n_hit, k, collapse, consumed), n_match
         )
 
     nonempty = [t for t in lists if t.n > 0]
@@ -1064,8 +1150,12 @@ def wand_shard_topk_count(
     if mode == "legacy":
         scores = np.divide(scores, maxs, out=np.zeros_like(scores),
                            where=maxs > 0)
+    n_match = len(cand)  # count BEFORE the cursor filter
+    if after is not None:
+        keep = _after_mask(scores, cand, after)
+        cand, scores, n_hit = cand[keep], scores[keep], n_hit[keep]
     return with_count(
-        _finalize(cand, scores, n_hit, k, collapse), len(cand)
+        _finalize(cand, scores, n_hit, k, collapse, consumed), n_match
     )
 
 
@@ -1302,17 +1392,21 @@ def site_map_frame(doc_stats, n_shards: int):
 
 def _merge_collapsed(
     rows, n_cap: int, k: int, offset: int, conjunctive: bool, n_terms: int,
+    consumed: dict | None = None,
 ) -> list:
     """Driver-side exact global merge of the shards' post-cap
     top-(k·n) rows (COLLAPSE/FUSED_COLLAPSE schema): re-rank by
     (score desc, doc_id asc), re-apply the per-site cap over the
     merged order, slice [offset, offset+k). Input is ≤ shards·k·n
-    rows by kernel construction — bounded however large the corpus."""
+    rows by kernel construction — bounded however large the corpus.
+    `consumed` (collapse-aware cursor): site_id → rows served by
+    earlier pages; seeds the per-site counters so caps continue the
+    stateful walk."""
     hits = [r for r in rows if r["n_hit"] != -1]
     if conjunctive:
         hits = [r for r in hits if r["n_hit"] == n_terms]
     hits.sort(key=lambda r: (-r["score"], r["doc_id"]))
-    per_site: dict = {}
+    per_site: dict = dict(consumed) if consumed else {}
     kept = []
     for r in hits:
         c = per_site.get(r["site_id"], 0)
@@ -1346,6 +1440,9 @@ def search_packed_fused(
     site_map: DataFrame | None = None,
     boosts: dict | None = None,
     field_weights: dict | None = None,
+    after: tuple[float, int] | None = None,
+    after_sites: dict | None = None,
+    return_sites: bool = False,
 ) -> tuple[list[tuple[int, float]], int]:
     """ONE kernel pass per shard serving BOTH the ranked page and the
     pre-pagination match count → ([(doc_id, score)] already
@@ -1407,6 +1504,23 @@ def search_packed_fused(
             raise ValueError(
                 "collapse needs site_map (site_map_frame) or doc_stats"
             )
+    if after is not None:
+        # fused cursors are COLLAPSE cursors: the plain-cursor serving
+        # path is search_packed(after=…) + the per-generation count
+        # cache (service.py); the fused pass exists here because a
+        # collapsed cursor page needs count + capped page together
+        if collapse_n is None or after_sites is None:
+            raise ValueError(
+                "fused search_after needs collapse_n AND after_sites "
+                "(the per-site served counts of earlier pages — "
+                "pass {} for a page-1 cursor replay)"
+            )
+        if offset:
+            raise ValueError("search_after replaces offset")
+    if after_sites is not None and (after is None or collapse_n is None):
+        raise ValueError("after_sites needs after and collapse_n")
+    if return_sites and collapse_n is None:
+        raise ValueError("return_sites needs collapse_n")
     fweights = _resolve_fweights(mode, field_weights)
     if lemmas is None:
         lemmas = lemmatize_query(query)
@@ -1431,6 +1545,15 @@ def search_packed_fused(
                 ) + 1
             site_map = site_map_frame(doc_stats, n_shards)
 
+        consumed = None
+        if after_sites is not None:
+            c_ids = np.array(sorted(after_sites), dtype=np.int64)
+            c_counts = np.array(
+                [int(after_sites[i]) for i in sorted(after_sites)],
+                dtype=np.int64,
+            )
+            consumed = (c_ids, c_counts)
+
         def _ckernel(seg_pdf: pd.DataFrame, map_pdf: pd.DataFrame):
             ids = map_pdf["doc_id"].to_numpy(dtype=np.int64, copy=True)
             sids = map_pdf["site_id"].to_numpy(dtype=np.int64, copy=True)
@@ -1440,6 +1563,7 @@ def search_packed_fused(
                 excluded=exc,
                 collapse=(collapse_n, ids[order], sids[order]),
                 boosts=boosts, fweights=fweights,
+                after=after, consumed=consumed,
             )
 
         per_shard = (
@@ -1450,8 +1574,14 @@ def search_packed_fused(
         rows = per_shard.collect()
         count = sum(r["n_matched"] for r in rows if r["n_hit"] == -1)
         kept = _merge_collapsed(
-            rows, collapse_n, k, offset, conjunctive, n_terms
+            rows, collapse_n, k, offset, conjunctive, n_terms,
+            consumed=after_sites,
         )
+        if return_sites:
+            return (
+                [(r["doc_id"], r["score"], r["site_id"]) for r in kept],
+                int(count),
+            )
         return [(r["doc_id"], r["score"]) for r in kept], int(count)
     if site is None:
         per_shard = seg.groupBy("shard").applyInPandas(

@@ -139,6 +139,7 @@ class SearchService:
                synonyms: dict | None = None,
                synonym_weight: float = 0.5,
                after: tuple | None = None,
+               after_sites: dict | None = None,
                field_weights: dict | None = None) -> dict:
         syn_key = (
             tuple(sorted((k, tuple(v)) for k, v in synonyms.items()))
@@ -147,6 +148,10 @@ class SearchService:
         fw_key = (
             tuple(sorted(field_weights.items())) if field_weights else None
         )
+        as_key = (
+            tuple(sorted(after_sites.items()))
+            if after_sites is not None else None
+        )
         return self._cached(
             # oversample only affects blended requests — keep it out of
             # the key otherwise so identical responses share one slot
@@ -154,13 +159,14 @@ class SearchService:
              conjunctive, blend,
              oversample if blend is not None else None, correct, collapse,
              syn_key, synonym_weight if synonyms else None,
-             tuple(after) if after else None, fw_key),
+             tuple(after) if after else None, as_key, fw_key),
             lambda: self._search_uncached(
                 query, site=site, offset=offset, limit=limit,
                 snippets=snippets, mode=mode, conjunctive=conjunctive,
                 blend=blend, oversample=oversample, correct=correct,
                 collapse=collapse, synonyms=synonyms,
                 synonym_weight=synonym_weight, after=after,
+                after_sites=after_sites,
                 field_weights=field_weights),
         )
 
@@ -300,6 +306,7 @@ class SearchService:
         synonyms: dict | None = None,
         synonym_weight: float = 0.5,
         after: tuple | None = None,
+        after_sites: dict | None = None,
         field_weights: dict | None = None,
     ) -> dict:
         """SearchResponse dict: {result, count, data:[{site, uri, url,
@@ -337,7 +344,16 @@ class SearchService:
         index.wand.site_map_frame); the response `count` stays the
         UNCOLLAPSED match total. Mutually exclusive with `site`
         (enforced in the kernel entry) and with `blend` (rerank after
-        collapse would need its own oversample ladder — unsupported)."""
+        collapse would need its own oversample ladder — unsupported).
+
+        Collapsed responses carry `site_counts` (site_id → rows served
+        so far, cumulative): pass it back together with
+        `after=(relevance, doc_id)` of the last row as `after_sites`
+        to page the DIVERSIFIED ranking exactly — the collapse walk is
+        stateful, and the per-site consumed counts are exactly its
+        state (collapse-aware search_after; the kernels cap every site
+        at its remaining budget and the θ-seed caps its exact-totals
+        sample the same way)."""
         if snippets and self.docs_text is None:
             raise ValueError(
                 "snippets need docs_text (doc_id, text) at open"
@@ -345,15 +361,25 @@ class SearchService:
         if collapse is not None and blend is not None:
             raise ValueError("collapse and blend cannot combine")
         if after is not None and (
-            offset or blend is not None or collapse is not None
-            or correct or synonyms
+            offset or blend is not None or correct or synonyms
         ):
             raise ValueError(
                 "search_after replaces offset and cannot combine with "
-                "blend, collapse, correct, or synonyms (cursor pages "
-                "re-analyze the query verbatim — a rewritten term set "
-                "would silently change the ranking under the cursor)"
+                "blend, correct, or synonyms (cursor pages re-analyze "
+                "the query verbatim — a rewritten term set would "
+                "silently change the ranking under the cursor)"
             )
+        if after is not None and collapse is not None and (
+            after_sites is None
+        ):
+            raise ValueError(
+                "search_after with collapse needs after_sites — the "
+                "per-site served counts the previous page returned as "
+                "response['site_counts'] (an exact collapsed cursor "
+                "is stateful)"
+            )
+        if after_sites is not None and (after is None or collapse is None):
+            raise ValueError("after_sites needs after AND collapse")
         from .operators.search import lemmatize_query, parse_boosted_query
 
         boosts = None
@@ -389,7 +415,8 @@ class SearchService:
             )
             boosts = {**syn_boosts, **(boosts or {})}
         k_fetch = limit if blend is None else oversample * (offset + limit)
-        if after is not None:
+        site_counts = None
+        if after is not None and collapse is None:
             # cursor page (search_after, item 31): the ranked page
             # comes from the cursor-aware WAND kernel; the count is
             # cursor-INDEPENDENT (same total as page 1), so deep pages
@@ -441,7 +468,21 @@ class SearchService:
                     self._get_site_map() if collapse is not None else None
                 ),
                 boosts=boosts, field_weights=field_weights,
+                after=(
+                    (float(after[0]), int(after[1]))
+                    if after is not None else None
+                ),
+                after_sites=after_sites,
+                return_sites=collapse is not None,
             )
+            if collapse is not None:
+                # cumulative per-site served counts — the client passes
+                # these back (with the last row's cursor) to page the
+                # collapsed ranking exactly (VERDICT r4 #8)
+                site_counts = dict(after_sites or {})
+                for _, _, sid in hits:
+                    site_counts[int(sid)] = site_counts.get(int(sid), 0) + 1
+                hits = [(d, sc) for d, sc, _ in hits]
             # seed the cursor-count cache from the fused page-1 count
             # so a page-walk's page >= 2 runs ONE kernel (top-k only).
             # Only when the fused count is provably the same number the
@@ -465,6 +506,8 @@ class SearchService:
             out = {"result": True, "count": count, "data": []}
             if corrections:
                 out["corrected"] = corrections
+            if site_counts is not None:
+                out["site_counts"] = site_counts
             return out
         winners = self.spark.createDataFrame(
             [(int(d), float(s)) for d, s in hits],
@@ -505,6 +548,8 @@ class SearchService:
         out = {"result": True, "count": count, "data": data}
         if corrections:
             out["corrected"] = corrections
+        if site_counts is not None:
+            out["site_counts"] = site_counts
         return out
 
     def _correct_lemmas(

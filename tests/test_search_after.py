@@ -270,3 +270,170 @@ def test_service_search_after(spark, tmp_path_factory, monkeypatch):
                            after=cursor, **bad)
     finally:
         svc.close()
+
+
+# ---------------------------------------------------------------------------
+# collapse-aware cursors (VERDICT r4 #8): page-walk ≡ full collapsed
+# ranking, with the cursor carrying per-site consumed counts
+# ---------------------------------------------------------------------------
+
+
+def _site_map_for(n_docs):
+    ids = np.arange(n_docs * 10, dtype=np.int64)
+    return ids, (ids % 7).astype(np.int64)  # 7 sites
+
+
+def _collapsed_full(frame, conjunctive, nt, n_cap, map_ids, map_sites):
+    """Stateful python reference: walk the FULL ranking in (score desc,
+    doc_id asc) order keeping at most n_cap per site."""
+    rows = _rows(frame, conjunctive, nt)
+    per_site: dict = {}
+    out = []
+    for sc, d in rows:
+        s = int(map_sites[np.searchsorted(map_ids, d)])
+        c = per_site.get(s, 0)
+        if c < n_cap:
+            per_site[s] = c + 1
+            out.append((sc, d, s))
+    return out
+
+
+@given(st.integers(0, 10_000), st.booleans(), st.integers(1, 3),
+       st.integers(1, 6), st.integers(1, 3))
+@settings(max_examples=60, deadline=None)
+def test_wand_collapsed_cursor_walk_equals_full_ranking(
+    seed, conjunctive, nt, k, n_cap
+):
+    """Walking the whole COLLAPSED result set page-by-page through
+    (after cursor + per-site consumed counts) reproduces the single-
+    shot full collapsed ranking EXACTLY — rows, order, and scores.
+    Any unsound remaining-cap bookkeeping (or a θ-seed inflated above
+    a post-cursor collapse survivor) would diverge the walk."""
+    rng = np.random.RandomState(seed)
+    n_docs, avgdl = 300, 80.0
+    map_ids, map_sites = _site_map_for(n_docs)
+    collapse = (n_cap, map_ids, map_sites)
+    groups = [
+        _mk_group(rng, f"t{i}", int(rng.randint(5, 150)), n_docs)
+        for i in range(nt)
+    ]
+    pdf = pd.concat(
+        [_pack_group(g, n_docs, avgdl, 0) for g in groups],
+        ignore_index=True,
+    )
+    # single-shot reference: uncollapsed exhaustive ranking, then the
+    # stateful collapse walk in python
+    full_frame = wand_shard_topk(pdf, n_docs, avgdl, 10_000, conjunctive,
+                                 nt)
+    want = _collapsed_full(full_frame, conjunctive, nt, n_cap,
+                           map_ids, map_sites)
+
+    walked, cursor, state = [], None, {}
+    for _ in range(1000):
+        frame = wand_shard_topk(
+            pdf, n_docs, avgdl, k, conjunctive, nt,
+            collapse=collapse, after=cursor,
+            consumed=(
+                np.array(sorted(state), dtype=np.int64),
+                np.array([state[s] for s in sorted(state)],
+                         dtype=np.int64),
+            ) if cursor is not None else None,
+        )
+        if conjunctive:
+            frame = frame[frame["n_hit"] == nt]
+        page = sorted(
+            zip(frame["score"].tolist(), frame["doc_id"].tolist(),
+                frame["site_id"].tolist()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        # driver-merge equivalent for ONE shard: re-apply remaining
+        # caps over the merged order, take k
+        kept = []
+        per = dict(state)
+        for sc, d, s in page:
+            c = per.get(s, 0)
+            if c < n_cap:
+                per[s] = c + 1
+                kept.append((sc, d, s))
+                if len(kept) >= k:
+                    break
+        if not kept:
+            break
+        walked.extend(kept)
+        for _, _, s in kept:
+            state[s] = state.get(s, 0) + 1
+        cursor = (kept[-1][0], kept[-1][1])
+    assert [(d, s) for _, d, s in walked] == [(d, s) for _, d, s in want]
+    for (ws, _, _), (fs, _, _) in zip(walked, want):
+        assert ws == fs  # bit-identical scores page over page
+
+
+def test_wand_collapsed_cursor_requires_consumed():
+    rng = np.random.RandomState(1)
+    n_docs = 100
+    map_ids, map_sites = _site_map_for(n_docs)
+    pdf = _pack_group(_mk_group(rng, "t0", 50, n_docs), n_docs, 80.0, 0)
+    with pytest.raises(ValueError, match="consumed"):
+        wand_shard_topk(pdf, n_docs, 80.0, 5, False, 1,
+                        collapse=(2, map_ids, map_sites),
+                        after=(1.0, 0))
+
+
+def test_service_collapsed_cursor_pages(spark, tmp_path_factory):
+    """Collapse-aware cursor pagination through the SERVICE (VERDICT
+    r4 #8): walking pages with (after cursor + the site_counts each
+    response returns) reproduces the single-shot collapsed ranking
+    exactly, count stays the uncollapsed page-1 total, and the
+    validation surface holds."""
+    from searchengine_spark.operators.postings import (
+        build_index, prepare_docs, write_index,
+    )
+    from searchengine_spark.service import SearchService
+    from searchengine_spark.sources.corpus import corpus_df
+
+    base = str(tmp_path_factory.mktemp("colcur") / "index")
+    docs = corpus_df(spark, 150)
+    idx = build_index(docs, use_html=True)
+    write_index(idx, f"{base}/idx")
+    n, avgdl = S.corpus_constants(idx.doc_stats)
+    write_segments(build_segments(idx, n, avgdl, n_shards=4),
+                   f"{base}/segments")
+    svc = SearchService(
+        spark, base,
+        docs_text=prepare_docs(docs, use_html=True).select("doc_id", "text"),
+    )
+    try:
+        q, n_cap = "быстрый поиск", 3
+        full = svc.search(q, conjunctive=False, collapse=n_cap, limit=100)
+        assert "site_counts" in full
+        want = [(d["doc_id"], d["relevance"]) for d in full["data"]]
+        walked, cursor, sites = [], None, None
+        for _ in range(100):
+            page = svc.search(
+                q, conjunctive=False, collapse=n_cap, limit=4,
+                after=cursor, after_sites=sites,
+            ) if cursor is not None else svc.search(
+                q, conjunctive=False, collapse=n_cap, limit=4,
+            )
+            assert page["count"] == full["count"]  # uncollapsed total
+            if not page["data"]:
+                break
+            walked.extend(
+                (d["doc_id"], d["relevance"]) for d in page["data"]
+            )
+            last = page["data"][-1]
+            cursor = (last["relevance"], last["doc_id"])
+            sites = page["site_counts"]
+        assert walked == want
+        # cumulative site_counts: the last page's map counts the whole
+        # walk, capped at n per site
+        assert sum(sites.values()) == len(want)
+        assert max(sites.values()) <= n_cap
+        # validation: collapsed cursor without after_sites rejected
+        with pytest.raises(ValueError, match="after_sites"):
+            svc.search(q, conjunctive=False, collapse=n_cap,
+                       after=cursor)
+        with pytest.raises(ValueError, match="after_sites"):
+            svc.search(q, conjunctive=False, after_sites={})
+    finally:
+        svc.close()
