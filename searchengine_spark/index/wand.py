@@ -102,6 +102,34 @@ TOPK_OUT_SCHEMA = "doc_id long, score double, n_hit int"
 # site id so the global merge can re-apply the cap without a lookup
 COLLAPSE_TOPK_SCHEMA = TOPK_OUT_SCHEMA + ", site_id long"
 
+# Per-field TF layer columns (packed BM25F). Only the mode="bm25f"
+# kernel ever reads these; every other packed query projects them out
+# BEFORE the applyInPandas, so the extra varbyte streams (~2 bytes per
+# posting — comparable to the base tf+doclen streams) never leave the
+# parquet scan or cross the Arrow boundary into Python. Measured at
+# sf0.1 (100k docs): the posting-heavy reference disjunctive queries
+# ran ~55% slower when the field streams rode along with every query.
+# `avgtl` (one double) is deliberately NOT listed — dropping an 8-byte
+# rider buys nothing and _TermList guards on its presence anyway.
+FIELD_LAYER_COLS = (
+    "tfs_title", "title_lens", "block_off_ttf", "block_off_tls",
+    "block_max_bnorm", "block_max_tnorm",
+)
+
+
+def term_pruned_segments(segments, terms, mode: str = "bm25"):
+    """Term-pruned segment scan projected to the columns `mode`'s
+    kernels read — the shared entry for every packed query path
+    (search / fused / metrics / count / facets / boolean / prefix).
+    Both the `In(term, …)` filter and the column pruning reach the
+    parquet scan (Catalyst pushes them through the groupBy exchange)."""
+    seg = segments.filter(F.col("term").isin(list(terms)))
+    if mode != "bm25f":
+        drop = [c for c in FIELD_LAYER_COLS if c in segments.columns]
+        if drop:
+            seg = seg.drop(*drop)
+    return seg
+
 
 class _TermList:
     """Postings of one term within one shard — lazily block-decoded
@@ -1301,7 +1329,7 @@ def search_packed_metrics(
 
         return empty_df(spark, METRICS_OUT_SCHEMA)
     n_terms = len(terms)
-    seg = segments.filter(F.col("term").isin(terms))
+    seg = term_pruned_segments(segments, terms, mode)
     exc = (
         np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
         if excluded_doc_ids else None
@@ -1532,7 +1560,7 @@ def search_packed_fused(
     n_terms = len(terms)
     k_eff = offset + k
 
-    seg = segments.filter(F.col("term").isin(terms))
+    seg = term_pruned_segments(segments, terms, mode)
     exc = (
         np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
         if excluded_doc_ids else None
@@ -1750,7 +1778,7 @@ def search_packed(
     n_terms = len(terms)
     k_eff = offset + k
 
-    seg = segments.filter(F.col("term").isin(terms))
+    seg = term_pruned_segments(segments, terms, mode)
     exc = (
         np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
         if excluded_doc_ids else None
@@ -1931,7 +1959,7 @@ def match_count_packed(
                 cand = _setdiff_sorted(cand, exc)
         return pd.DataFrame({"n_matched": [len(cand)]})
 
-    seg = segments.filter(F.col("term").isin(terms))
+    seg = term_pruned_segments(segments, terms)
     if site is None:
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: _count(pdf, None), schema="n_matched long"
@@ -2057,7 +2085,7 @@ def facet_counts_packed(
             {"site_id": uniq, "n": counts.astype(np.int64)}
         )
 
-    seg = segments.filter(F.col("term").isin(terms))
+    seg = term_pruned_segments(segments, terms)
     partials = (
         seg.groupby("shard")
         .cogroup(site_map.groupby("shard"))

@@ -537,7 +537,9 @@ def bool_search_packed(
     are cogrouped into each shard's kernel (only the member list
     moves — the corpus never shuffles); corpus statistics stay
     global, same contract as every filtered-retrieval path."""
-    from ..index.wand import TOPK_OUT_SCHEMA, _site_members
+    from ..index.wand import (
+        TOPK_OUT_SCHEMA, _site_members, term_pruned_segments,
+    )
 
     if k < 0 or offset < 0:
         raise ValueError(
@@ -555,7 +557,7 @@ def bool_search_packed(
         else None
     )
     k_eff = offset + k
-    seg = segments.filter(F.col("term").isin(leaves))
+    seg = term_pruned_segments(segments, leaves)
     if site is None:
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: bool_shard_topk(
@@ -621,7 +623,9 @@ def bool_search_packed_fused(
     pre-pagination match count -> ([(doc_id, score)] offset-sliced and
     globally ranked, n_matched) — the warm server's boolean hot path,
     same contract as index/wand.search_packed_fused."""
-    from ..index.wand import FUSED_OUT_SCHEMA, _site_members
+    from ..index.wand import (
+        FUSED_OUT_SCHEMA, _site_members, term_pruned_segments,
+    )
 
     if k < 0 or offset < 0:
         raise ValueError(
@@ -639,7 +643,7 @@ def bool_search_packed_fused(
         else None
     )
     k_eff = offset + k
-    seg = segments.filter(F.col("term").isin(leaves))
+    seg = term_pruned_segments(segments, leaves)
     if site is None:
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: bool_shard_topk_count(

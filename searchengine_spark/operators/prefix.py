@@ -63,7 +63,9 @@ def prefix_search_packed(
     TakeOrderedAndProject — index/wand.search_packed's plan shape)."""
     import numpy as np
 
-    from ..index.wand import TOPK_OUT_SCHEMA, wand_shard_topk
+    from ..index.wand import (
+        TOPK_OUT_SCHEMA, term_pruned_segments, wand_shard_topk,
+    )
 
     terms = expand_prefix(term_stats, prefix, max_expansions)
     if not terms:
@@ -74,7 +76,7 @@ def prefix_search_packed(
         else None
     )
     n_terms = len(terms)
-    seg = segments.filter(F.col("term").isin(terms))
+    seg = term_pruned_segments(segments, terms)
     per_shard = seg.groupBy("shard").applyInPandas(
         lambda pdf: wand_shard_topk(
             pdf, n_docs, avgdl, k, conjunctive=False, n_terms=n_terms,

@@ -179,6 +179,38 @@ def test_wand_plan_term_pruned(spark, built):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_wand_drops_field_layer_unless_bm25f(spark, built):
+    """The per-field TF layer (packed BM25F: tfs_title/title_lens
+    varbyte streams, ~2 extra bytes per posting) rides in every
+    segment row; only the mode='bm25f' kernel reads it. Every other
+    packed query must project it out BEFORE the applyInPandas, so the
+    title streams never leave the parquet scan or cross the Arrow
+    boundary (measured ~55% slower disjunctive queries otherwise)."""
+    from searchengine_spark.index.wand import (
+        FIELD_LAYER_COLS,
+        term_pruned_segments,
+    )
+
+    idx, segments, n, avgdl = built
+    assert set(FIELD_LAYER_COLS) <= set(segments.columns)
+    seg = term_pruned_segments(segments, ["быстрый"], "bm25")
+    assert not set(FIELD_LAYER_COLS) & set(seg.columns)
+    seg_f = term_pruned_segments(segments, ["быстрый"], "bm25f")
+    assert set(FIELD_LAYER_COLS) <= set(seg_f.columns)
+    # and the projection reaches the actual search plan (a call site
+    # bypassing the shared helper would reintroduce the streams)
+    plain = search_packed(
+        spark, segments, idx.term_stats, n, avgdl, "быстрый поиск", k=20
+    )
+    assert "tfs_title" not in _plan(plain)
+    fielded = search_packed(
+        spark, segments, idx.term_stats, n, avgdl, "быстрый поиск",
+        k=20, mode="bm25f", field_weights={"body": 1.0, "title": 2.0},
+    )
+    rows = fielded.limit(1).collect()  # bm25f still executes end-to-end
+    assert rows is not None
+
+
 def test_phrase_plan_filter_below_single_exchange(spark):
     """Phrase search must filter to the phrase terms BEFORE its one
     doc_id shuffle — the shuffle carries only those postings, never
