@@ -356,24 +356,42 @@ def build_segments(
     if n_shards is None:
         par = index.postings.sparkSession.sparkContext.defaultParallelism
         n_shards = n_shards_for(n_docs, min_parallelism=par)
+    # In-row fast path: a materialize_index-built index already carries
+    # the field layer (postings.ttf from the single extraction pass,
+    # doc_stats.tlen from the doclen aggregation) — the title data then
+    # rides the doc_id join the body stats take anyway. No second title
+    # analysis, no tmap join: at 2.4M docs the title_field_side path
+    # cost two extra full-corpus passes inside the pack stage.
+    in_row = (
+        title_tf is None
+        and "ttf" in index.postings.columns
+        and "tlen" in index.doc_stats.columns
+    )
     if title_tf is not None:
         if title_len is None:
             raise ValueError("title_tf needs title_len")
         title_side = _title_side_from_pairs(title_tf, title_len)
-    elif "title" in index.doc_stats.columns:
+    elif in_row or "title" not in index.doc_stats.columns:
+        title_side = None
+    else:
         title_side = title_field_side(
             index.doc_stats.select("doc_id", "title")
         )
-    else:
-        title_side = None
     if avgtl is None:
-        avgtl = _avgtl_of(title_side, n_docs)
-    enriched = _with_title_cols(
+        if in_row:
+            s = index.doc_stats.agg(F.sum("tlen").alias("s")).collect()[0]["s"]
+            avgtl = float(s or 0) / n_docs if n_docs else 0.0
+        else:
+            avgtl = _avgtl_of(title_side, n_docs)
+    doc_cols = ["doc_id", "doclen"] + (["tlen"] if in_row else [])
+    enriched = (
         index.postings
-        .join(index.doc_stats.select("doc_id", "doclen"), "doc_id")
-        .join(index.term_stats.select("term", "df"), "term"),
-        title_side,
-    ).withColumn(
+        .join(index.doc_stats.select(*doc_cols), "doc_id")
+        .join(index.term_stats.select("term", "df"), "term")
+    )
+    if not in_row:
+        enriched = _with_title_cols(enriched, title_side)
+    enriched = enriched.withColumn(
         "shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
     )
     return pack_segments_frame(enriched, n_docs, avgdl, run_id, avgtl)
@@ -436,21 +454,34 @@ def delta_segments(
     from ..operators.postings import doclen_from_counts, explode_term_counts
 
     postings = explode_term_counts(delta_prepared)
-    doclen = delta_prepared.select(
-        "doc_id", doclen_from_counts(delta_prepared).alias("doclen")
-    )
+    in_row = "ttf" in postings.columns  # title_counts rode the explode
+    dl_cols = [doclen_from_counts(delta_prepared).alias("doclen")]
+    if in_row:
+        dl_cols.append(
+            F.coalesce(
+                F.aggregate(
+                    "title_counts.tfs", F.lit(0), lambda a, x: a + x
+                ),
+                F.lit(0),
+            ).cast("long").alias("tlen")
+        )
+    doclen = delta_prepared.select("doc_id", *dl_cols)
     # field layer for the delta docs (avgtl = BASE corpus constant,
-    # same approximation family as n_docs/avgdl; exact at compaction)
+    # same approximation family as n_docs/avgdl; exact at compaction).
+    # With title_counts in the prepared frame the layer is in-row
+    # (ttf from the explode, tlen above) — no title re-analysis pass.
     title_side = (
         title_field_side(delta_prepared.select("doc_id", "title"))
-        if "title" in delta_prepared.columns else None
+        if not in_row and "title" in delta_prepared.columns else None
     )
-    enriched = _with_title_cols(
+    enriched = (
         postings.join(doclen, "doc_id")
         .join(term_stats.select("term", "df"), "term", "left")
-        .fillna(1, subset=["df"]),  # unseen term: df ≥ 1 once this doc lands
-        title_side,
-    ).withColumn(
+        .fillna(1, subset=["df"])  # unseen term: df ≥ 1 once this doc lands
+    )
+    if not in_row:
+        enriched = _with_title_cols(enriched, title_side)
+    enriched = enriched.withColumn(
         "shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)).cast("int")
     )
     return pack_segments_frame(enriched, n_docs, avgdl, run_id, avgtl)

@@ -146,17 +146,26 @@ def prepare_docs_counts(docs: DataFrame, use_html: bool = True) -> DataFrame:
         title_from_html(F.col("html")) if use_html
         else F.lit(None).cast("string")
     )
+    cols = [
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),
+        title_col.alias("title"),
+        term_counts_udf(text_col).alias("term_counts"),
+    ]
+    if use_html:
+        # title-field TF map for packed BM25F, analyzed in the SAME
+        # worker pass as the body (titles are a handful of words, so
+        # this adds ~nothing to the extraction UDF) — downstream the
+        # field layer then rides the existing doc_id joins instead of
+        # needing its own corpus pass + join (index/segments.py
+        # build_segments in-row fast path)
+        cols.append(term_counts_udf(title_col).alias("title_counts"))
     return (
         filter_valid_pages(docs)
         .filter(~is_file_url(F.col("url")))
         .withColumn("url", canonical_url(F.col("url")))
-        .select(
-            F.xxhash64("url").alias("doc_id"),
-            "url",
-            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),
-            title_col.alias("title"),
-            term_counts_udf(text_col).alias("term_counts"),
-        )
+        .select(*cols)
         .dropDuplicates(["doc_id"])
     )
 
@@ -179,9 +188,18 @@ def title_from_html(html_col):
 
 
 def explode_term_counts(prepared: DataFrame) -> DataFrame:
-    """(doc_id, term_counts struct<terms,tfs>) → (doc_id, term, tf)."""
-    return prepared.select(
+    """(doc_id, term_counts struct<terms,tfs>) → (doc_id, term, tf).
+
+    When the prepared frame carries a title_counts struct (see
+    prepare_docs_counts), each posting row also gets its title-field
+    tf (`ttf`, 0 when the term is not in the title) via a native
+    per-row map lookup — extracted text always contains the <title>
+    text, so title terms ⊆ body postings and no row is missed. This
+    keeps the packed BM25F field layer a pure projection of the one
+    extraction pass: no second title pass, no extra join."""
+    out = prepared.select(
         "doc_id",
+        *(["title_counts"] if "title_counts" in prepared.columns else []),
         F.explode(
             F.arrays_zip("term_counts.terms", "term_counts.tfs")
         ).alias("tc"),
@@ -189,7 +207,23 @@ def explode_term_counts(prepared: DataFrame) -> DataFrame:
         "doc_id",
         F.col("tc.terms").alias("term"),
         F.col("tc.tfs").alias("tf"),
+        *(
+            [
+                F.coalesce(
+                    F.element_at(
+                        F.map_from_arrays(
+                            "title_counts.terms", "title_counts.tfs"
+                        ),
+                        F.col("tc.terms"),
+                    ),
+                    F.lit(0),
+                ).alias("ttf")
+            ]
+            if "title_counts" in prepared.columns
+            else []
+        ),
     )
+    return out
 
 
 def doclen_from_counts(prepared: DataFrame):
@@ -299,18 +333,27 @@ def materialize_index(
         )
 
     def _write_doc_stats():
-        doclen = postings.groupBy("doc_id").agg(
-            F.sum("tf").cast("long").alias("doclen")
-        )
+        # tlen (title token count, the BM25F length normalizer) falls
+        # out of the SAME postings aggregation as doclen: title terms
+        # are a subset of body postings (extracted text contains the
+        # <title> text), so Σ ttf per doc ≡ the analyzed title length
+        # — no second title pass, no html re-scan in this job. A doc
+        # with zero postings has zero non-stop title lemmas too, so
+        # the left-join fillna(0) is exact for tlen as well.
+        aggs = [F.sum("tf").cast("long").alias("doclen")]
+        if "ttf" in postings.columns:
+            aggs.append(F.sum("ttf").cast("long").alias("tlen"))
+        doclen = postings.groupBy("doc_id").agg(*aggs)
         title = (
             F.col("title") if "title" in prepared.columns
             else F.lit(None).cast("string")
         ).alias("title")
         # UDFs pruned out of this scan (title is native column math)
         meta = prepared.select("doc_id", "url", "site", title)
+        fill = ["doclen"] + (["tlen"] if "ttf" in postings.columns else [])
         (
             meta.join(doclen, "doc_id", "left")
-            .fillna(0, subset=["doclen"])
+            .fillna(0, subset=fill)
             .repartition("doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
