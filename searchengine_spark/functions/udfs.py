@@ -82,6 +82,62 @@ def term_counts_udf(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"terms": terms, "tfs": tfs})
 
 
+_TERM_COUNTS_FIELDED_TYPE = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        # title-field tf PER BODY TERM (aligned with `terms`; 0 when
+        # the term is not in the title) + analyzed title length
+        T.StructField("ttfs", T.ArrayType(T.IntegerType())),
+        T.StructField("tlen", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(_TERM_COUNTS_FIELDED_TYPE)
+def term_counts_fielded_udf(text: pd.Series, title: pd.Series) -> pd.DataFrame:
+    """(text, title) → per-doc TF map PLUS the title-field layer, in
+    ONE Python pass: body counts as in term_counts_udf, then the
+    title analyzed with the same kernel and its counts aligned to the
+    body terms array (`ttfs[i] = title tf of terms[i]`, a dict lookup
+    per distinct term). Extracted text always contains the <title>
+    text, so title terms ⊆ body terms and the alignment loses nothing;
+    `tlen` is the FULL analyzed title length (Σ title counts) either
+    way. Replaces a second term_counts_udf evaluation + a per-posting
+    map_from_arrays/element_at projection after the explode — the
+    title lookup runs once per distinct term per doc, in Python,
+    instead of once per posting row in a generated-code map build."""
+    try:
+        from collections import _count_elements as _count
+    except ImportError:  # pragma: no cover - CPython-private fallback
+        from collections import Counter
+
+        def _count(d, it):
+            d.update(Counter(it))
+
+    tl = textproc.tokenize_lemmatize
+    terms, tfs, ttfs, tlens = [], [], [], []
+    for t, ti in zip(text, title):
+        if t is None:
+            terms.append([])
+            tfs.append([])
+            ttfs.append([])
+            tlens.append(0)
+            continue
+        c: dict = {}
+        _count(c, tl(t))
+        ct: dict = {}
+        if ti:
+            _count(ct, tl(ti))
+        terms.append(list(c.keys()))
+        tfs.append(list(c.values()))
+        ttfs.append([ct.get(k, 0) for k in c])
+        tlens.append(sum(ct.values()))
+    return pd.DataFrame(
+        {"terms": terms, "tfs": tfs, "ttfs": ttfs, "tlen": tlens}
+    )
+
+
 def snippet_udf(query_lemmas: list[str], radius: int = 3,
                 mode: str = "word"):
     """Snippet pandas UDF specialized to one query (applied post-top-k

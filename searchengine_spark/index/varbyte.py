@@ -35,16 +35,24 @@ def from_u64(u: np.ndarray) -> np.ndarray:
 
 
 def varbyte_lengths(values: np.ndarray) -> np.ndarray:
-    """Encoded byte count per value (little-endian base-128)."""
+    """Encoded byte count per value (little-endian base-128).
+
+    Bounded by the ARRAY max, not the format max: tf/field streams are
+    almost always all-1-byte and doclen streams 2-byte, so the early
+    exit turns 9 full-array compare+scatter rounds into 0-1 — measured
+    ~20× on the tf stream, a top-2 term in the whole pack kernel."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     nbytes = np.ones(v.size, dtype=np.int64)
+    if v.size == 0:
+        return nbytes
+    vmax = int(v.max())
     thresh = np.uint64(1 << 7)
     for k in range(2, 11):
+        if vmax < int(thresh):
+            break
         nbytes[v >= thresh] = k
         if k <= 9:
             thresh = np.uint64(1) << np.uint64(7 * k)
-        else:
-            break
     return nbytes
 
 
@@ -56,21 +64,21 @@ def varbyte_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> byte
         return b""
     if nbytes is None:
         nbytes = varbyte_lengths(v)
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    # offsets of each value's first byte
-    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    rem = v.copy()
-    for k in range(10):
-        mask = nbytes > k
-        if not mask.any():
-            break
-        pos = starts[mask] + k
-        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
-        more = (nbytes[mask] > k + 1).astype(np.uint8) << 7
-        out[pos] = byte | more
-        rem[mask] = rem[mask] >> np.uint64(7)
-    return out.tobytes()
+    kmax = int(nbytes.max())
+    if kmax == 1:
+        # every value < 128: the encoding IS the byte (high bit clear)
+        return v.astype(np.uint8).tobytes()
+    # (n, kmax) candidate-byte matrix, then a boolean row-major ravel
+    # keeps exactly each value's first nbytes[i] bytes in little-endian
+    # order — one vectorized pass instead of kmax masked scatter
+    # rounds (~8× on the 7-byte docID-gap stream, the fattest one)
+    ks = np.arange(kmax, dtype=np.int64)
+    shifts = (np.uint64(7) * ks.astype(np.uint64))[None, :]
+    m = ((v[:, None] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
+    cont = ks[None, :] < (nbytes[:, None] - 1)
+    bytes_ = m | (cont.astype(np.uint8) << 7)
+    valid = ks[None, :] < nbytes[:, None]
+    return bytes_[valid].tobytes()
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
@@ -79,6 +87,11 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
+    if is_last.all():
+        # no continuation bits: every byte is a whole value (the
+        # common shape for tf / field streams) — skip the grouped
+        # reconstruction (np.add.at is the slow path of this codec)
+        return b.astype(np.uint64)
     n_vals = int(is_last.sum())
     # group id of each byte = count of terminators strictly before it
     group = np.zeros(b.size, dtype=np.int64)

@@ -559,9 +559,24 @@ def prepared_with_anchors(
             F.coalesce(a, F.lit(0)) + F.lit(weight) * F.coalesce(b, F.lit(0))
         ).cast("int"),
     )
+    out = prepared.join(ac, "doc_id", "left")
+    if "ttfs" in prepared.columns:
+        # the title-field array is aligned with term_counts.terms
+        # (term_counts_fielded_udf) — the merge reorders/extends the
+        # terms array, so realign: anchor text contributes nothing to
+        # the TITLE field (it is body-appended text), so anchor-only
+        # terms get ttf 0. One per-doc map build — the anchor path
+        # only; the plain build never runs this.
+        tmap = F.map_from_arrays("term_counts.terms", "ttfs")
+        out = out.withColumn(
+            "ttfs",
+            F.transform(
+                F.map_keys(merged),
+                lambda k: F.coalesce(F.element_at(tmap, k), F.lit(0)),
+            ),
+        )
     return (
-        prepared.join(ac, "doc_id", "left")
-        .withColumn(
+        out.withColumn(
             "term_counts",
             F.struct(
                 F.map_keys(merged).alias("terms"),

@@ -138,7 +138,11 @@ def prepare_docs_counts(docs: DataFrame, use_html: bool = True) -> DataFrame:
     trailing slash, file reject — see prepare_docs) runs before the
     UDF: it is pure column math on the scan, adds no shuffle, and
     makes doc_id the canonical identity."""
-    from ..functions.udfs import extract_text_udf, term_counts_udf
+    from ..functions.udfs import (
+        extract_text_udf,
+        term_counts_fielded_udf,
+        term_counts_udf,
+    )
     from ..functions.urlnorm import canonical_url, is_file_url
 
     text_col = extract_text_udf(F.col("html")) if use_html else F.col("text")
@@ -146,26 +150,42 @@ def prepare_docs_counts(docs: DataFrame, use_html: bool = True) -> DataFrame:
         title_from_html(F.col("html")) if use_html
         else F.lit(None).cast("string")
     )
-    cols = [
-        F.xxhash64("url").alias("doc_id"),
-        "url",
-        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),
-        title_col.alias("title"),
-        term_counts_udf(text_col).alias("term_counts"),
-    ]
     if use_html:
-        # title-field TF map for packed BM25F, analyzed in the SAME
-        # worker pass as the body (titles are a handful of words, so
-        # this adds ~nothing to the extraction UDF) — downstream the
-        # field layer then rides the existing doc_id joins instead of
-        # needing its own corpus pass + join (index/segments.py
+        # body TF map AND the title-field layer (packed BM25F) in ONE
+        # UDF evaluation: ttfs comes back aligned with terms, so the
+        # posting explode just zips a third array — no second analyzer
+        # pass, no per-posting-row map lookup, and the field layer
+        # rides the existing doc_id joins downstream (segments.py
         # build_segments in-row fast path)
-        cols.append(term_counts_udf(title_col).alias("title_counts"))
+        tc = term_counts_fielded_udf(text_col, title_col)
+        counts_cols = [
+            F.struct(
+                F.col("tc.terms").alias("terms"),
+                F.col("tc.tfs").alias("tfs"),
+            ).alias("term_counts"),
+            F.col("tc.ttfs").alias("ttfs"),
+            F.col("tc.tlen").cast("long").alias("tlen"),
+        ]
+    else:
+        tc = term_counts_udf(text_col)
+        counts_cols = [
+            F.struct(
+                F.col("tc.terms").alias("terms"),
+                F.col("tc.tfs").alias("tfs"),
+            ).alias("term_counts")
+        ]
     return (
         filter_valid_pages(docs)
         .filter(~is_file_url(F.col("url")))
         .withColumn("url", canonical_url(F.col("url")))
-        .select(*cols)
+        .select(
+            F.xxhash64("url").alias("doc_id"),
+            "url",
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),
+            title_col.alias("title"),
+            tc.alias("tc"),
+        )
+        .select("doc_id", "url", "site", "title", *counts_cols)
         .dropDuplicates(["doc_id"])
     )
 
@@ -190,40 +210,25 @@ def title_from_html(html_col):
 def explode_term_counts(prepared: DataFrame) -> DataFrame:
     """(doc_id, term_counts struct<terms,tfs>) → (doc_id, term, tf).
 
-    When the prepared frame carries a title_counts struct (see
-    prepare_docs_counts), each posting row also gets its title-field
-    tf (`ttf`, 0 when the term is not in the title) via a native
-    per-row map lookup — extracted text always contains the <title>
-    text, so title terms ⊆ body postings and no row is missed. This
-    keeps the packed BM25F field layer a pure projection of the one
-    extraction pass: no second title pass, no extra join."""
-    out = prepared.select(
+    When the prepared frame carries the aligned title-field array
+    (`ttfs`, see prepare_docs_counts / term_counts_fielded_udf), each
+    posting row also gets its title-field tf (`ttf`, 0 when the term
+    is not in the title) by riding the SAME arrays_zip explode — the
+    packed BM25F field layer is a pure projection of the one
+    extraction pass: no second title pass, no join, no per-row map."""
+    fielded = "ttfs" in prepared.columns
+    zip_cols = ["term_counts.terms", "term_counts.tfs"] + (
+        ["ttfs"] if fielded else []
+    )
+    return prepared.select(
         "doc_id",
-        *(["title_counts"] if "title_counts" in prepared.columns else []),
-        F.explode(
-            F.arrays_zip("term_counts.terms", "term_counts.tfs")
-        ).alias("tc"),
+        F.explode(F.arrays_zip(*zip_cols)).alias("tc"),
     ).select(
         "doc_id",
         F.col("tc.terms").alias("term"),
         F.col("tc.tfs").alias("tf"),
-        *(
-            [
-                F.coalesce(
-                    F.element_at(
-                        F.map_from_arrays(
-                            "title_counts.terms", "title_counts.tfs"
-                        ),
-                        F.col("tc.terms"),
-                    ),
-                    F.lit(0),
-                ).alias("ttf")
-            ]
-            if "title_counts" in prepared.columns
-            else []
-        ),
+        *([F.col("tc.ttfs").alias("ttf")] if fielded else []),
     )
-    return out
 
 
 def doclen_from_counts(prepared: DataFrame):
