@@ -204,7 +204,14 @@ def pack_segments_frame(
     partitions (hash partitioning on exactly that key), but CAN span
     consecutive Arrow batches of one partition — the walker carries
     the trailing (possibly incomplete) group of every batch forward
-    and flushes it at iterator end.
+    as a LIST of chunks and concatenates once, when the group closes
+    (or at iterator end). Total row copies stay O(partition rows)
+    even when one group spans many Arrow batches — the previous
+    concat-carry-into-next-batch design recopied an open group once
+    per batch it spanned (quadratic in group size at the default 10k
+    Arrow batch rows), and its Python backward walk to find the
+    trailing boundary cost O(carried rows) of interpreter loop per
+    batch; boundaries now come from one vectorized change-point scan.
 
     Shuffle width: the two field-layer ints ride PACKED into the body
     ints (tfx = tf·2³¹ + ttf, dlx = doclen·2³¹ + tlen — exact while
@@ -215,58 +222,71 @@ def pack_segments_frame(
     _LIM = np.int64(1) << np.int64(31)
 
     def run(batches):
-        carry: pd.DataFrame | None = None
+        # chunks of the currently-open trailing group (term/shard of
+        # every row in every chunk is identical); concatenated exactly
+        # once, when the group closes
+        carry: list[pd.DataFrame] = []
 
-        def emit(pdf: pd.DataFrame, upto: int) -> pd.DataFrame | None:
-            terms = pdf["term"].to_numpy()
-            shards = pdf["shard"].to_numpy()
-            dids = pdf["doc_id"].to_numpy()
-            dfs = pdf["df"].to_numpy()
-            tfx = pdf["tfx"].to_numpy()
-            dlx = pdf["dlx"].to_numpy()
-            tfs = tfx >> 31
-            ttfs = tfx & (_LIM - 1)
-            dls = dlx >> 31
-            tls = dlx & (_LIM - 1)
-            change = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
-            ) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(pdf)]))
-            rows = []
-            for a, b in zip(starts, ends):
-                if a >= upto:
-                    break
-                rows.append(_pack_arrays(
-                    terms[a], int(shards[a]), dids[a:b], tfs[a:b],
-                    dls[a:b], ttfs[a:b], tls[a:b], int(dfs[a]),
-                    n_docs, avgdl, run_id, avgtl,
-                ))
-            return pd.DataFrame(rows) if rows else None
+        def pack_one(pdf: pd.DataFrame, a: int, b: int) -> dict:
+            tfx = pdf["tfx"].to_numpy()[a:b]
+            dlx = pdf["dlx"].to_numpy()[a:b]
+            return _pack_arrays(
+                pdf["term"].iat[a], int(pdf["shard"].iat[a]),
+                pdf["doc_id"].to_numpy()[a:b], tfx >> 31,
+                dlx >> 31, tfx & (_LIM - 1), dlx & (_LIM - 1),
+                int(pdf["df"].iat[a]), n_docs, avgdl, run_id, avgtl,
+            )
+
+        def flush_carry() -> dict | None:
+            nonlocal carry
+            if not carry:
+                return None
+            whole = (
+                carry[0] if len(carry) == 1
+                else pd.concat(carry, ignore_index=True)
+            )
+            carry = []
+            return pack_one(whole, 0, len(whole))
 
         for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
             if not len(pdf):
                 continue
             terms = pdf["term"].to_numpy()
             shards = pdf["shard"].to_numpy()
-            # the last group may continue in the next batch — hold it
-            last_start = len(pdf) - 1
-            while last_start > 0 and (
-                terms[last_start - 1] == terms[-1]
-                and shards[last_start - 1] == shards[-1]
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+            ) + 1
+            rows = []
+            if carry and (
+                terms[0] != carry[0]["term"].iat[0]
+                or shards[0] != carry[0]["shard"].iat[0]
             ):
-                last_start -= 1
-            carry = pdf.iloc[last_start:]
-            out = emit(pdf, last_start)
-            if out is not None:
-                yield out
-        if carry is not None and len(carry):
-            out = emit(carry, len(carry))
-            if out is not None:
-                yield out
+                # batch opens a NEW group — the carried one is complete
+                rows.append(flush_carry())
+            if carry:
+                if change.size == 0:
+                    # whole batch continues the open group
+                    carry.append(pdf)
+                    if rows:
+                        yield pd.DataFrame(rows)
+                    continue
+                # open group closes at the first boundary
+                head = int(change[0])
+                carry.append(pdf.iloc[:head])
+                rows.append(flush_carry())
+            else:
+                head = 0
+            # complete groups fully inside this batch; the trailing
+            # (possibly incomplete) one becomes the new carry
+            starts = np.concatenate(([head], change[change > head]))
+            for a, b in zip(starts[:-1], starts[1:]):
+                rows.append(pack_one(pdf, int(a), int(b)))
+            carry.append(pdf.iloc[int(starts[-1]):])
+            if rows:
+                yield pd.DataFrame(rows)
+        tail = flush_carry()
+        if tail is not None:
+            yield pd.DataFrame([tail])
 
     # in-partition sort groups rows; the partitioner guarantees group
     # locality. The sort is the same work applyInPandas' group shuffle
@@ -412,12 +432,27 @@ def build_segments(
             avgtl = float(s or 0) / n_docs if n_docs else 0.0
         else:
             avgtl = _avgtl_of(title_side, n_docs)
-    doc_cols = ["doc_id", "doclen"] + (["tlen"] if in_row else [])
-    enriched = (
-        index.postings
-        .join(index.doc_stats.select(*doc_cols), "doc_id")
-        .join(index.term_stats.select("term", "df"), "term")
+    # Fastest path: postings that carry their doc lengths IN-ROW
+    # (explode_term_counts emits doclen/tlen per posting — known
+    # before the explode) need NO doc-side join at all; the only
+    # remaining join is the tiny term_stats df lookup. The doc_stats
+    # join below is a sort-merge of the FULL posting stream on doc_id
+    # — a second corpus-scale shuffle inside the pack stage — kept
+    # only for indexes whose postings predate the in-row layout.
+    lengths_in_row = "doclen" in index.postings.columns and (
+        not in_row or "tlen" in index.postings.columns
     )
+    if lengths_in_row:
+        enriched = index.postings.join(
+            index.term_stats.select("term", "df"), "term"
+        )
+    else:
+        doc_cols = ["doc_id", "doclen"] + (["tlen"] if in_row else [])
+        enriched = (
+            index.postings
+            .join(index.doc_stats.select(*doc_cols), "doc_id")
+            .join(index.term_stats.select("term", "df"), "term")
+        )
     if not in_row:
         enriched = _with_title_cols(enriched, title_side)
     enriched = enriched.withColumn(
@@ -480,28 +515,21 @@ def delta_segments(
     (n_docs, avgdl, term df) — the standard approximation for small
     deltas; index.refresh.refresh_and_repack re-aggregates exactly
     (idempotent, no ±1 mutation — SURVEY §3.3) and closes the window."""
-    from ..operators.postings import doclen_from_counts, explode_term_counts
+    from ..operators.postings import explode_term_counts
 
     postings = explode_term_counts(delta_prepared)
     in_row = "ttf" in postings.columns  # aligned ttfs rode the explode
-    dl_cols = [doclen_from_counts(delta_prepared).alias("doclen")]
-    if in_row:
-        # tlen computed by the extraction UDF (full analyzed title
-        # length — term_counts_fielded_udf), riding the prepared frame
-        dl_cols.append(
-            F.coalesce(F.col("tlen"), F.lit(0)).cast("long").alias("tlen")
-        )
-    doclen = delta_prepared.select("doc_id", *dl_cols)
-    # field layer for the delta docs (avgtl = BASE corpus constant,
-    # same approximation family as n_docs/avgdl; exact at compaction).
-    # With ttfs/tlen in the prepared frame the layer is in-row
-    # (ttf from the explode, tlen above) — no title re-analysis pass.
+    # explode_term_counts emits doclen (and tlen when fielded) per
+    # posting row — known before the explode — so the delta needs no
+    # doc-side join either; the field layer (avgtl = BASE corpus
+    # constant, same approximation family as n_docs/avgdl; exact at
+    # compaction) rides in-row when the prepared frame carries ttfs.
     title_side = (
         title_field_side(delta_prepared.select("doc_id", "title"))
         if not in_row and "title" in delta_prepared.columns else None
     )
     enriched = (
-        postings.join(doclen, "doc_id")
+        postings
         .join(term_stats.select("term", "df"), "term", "left")
         .fillna(1, subset=["df"])  # unseen term: df ≥ 1 once this doc lands
     )

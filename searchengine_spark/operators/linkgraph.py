@@ -488,9 +488,10 @@ def anchor_term_counts(docs: DataFrame) -> DataFrame:
     """
     from ..operators.postings import explode_term_counts
 
-    return explode_term_counts(
-        _anchor_counts_per_target(docs)
-    ).withColumnRenamed("tf", "atf")
+    return (
+        explode_term_counts(_anchor_counts_per_target(docs))
+        .select("doc_id", "term", F.col("tf").alias("atf"))
+    )
 
 
 def _anchor_counts_per_target(docs: DataFrame) -> DataFrame:
