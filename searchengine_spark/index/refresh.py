@@ -289,6 +289,17 @@ def refresh_and_repack(
     # with the freshly written postings/term_stats/doc_stats — the new
     # doc_stats IS the folded state)
 
+    # The renames happened OUTSIDE Spark's write path, so the session's
+    # CacheManager and shared file-status cache still hold the
+    # pre-swap state for these paths — and a cached plan poisons even
+    # a brand-new reader: .cache() on a semantically identical scan
+    # reuses the existing stale InMemoryRelation instead of re-reading
+    # ("Asked to cache already cached data"). Without this, a
+    # SearchService opened AFTER the refresh silently serves the
+    # pre-refresh index (delta docs vanish from doc_stats/term_stats).
+    for path, _ in swaps:
+        spark.catalog.refreshByPath(path)
+
     from ..operators.postings import read_index
 
     return read_index(spark, idx_path), spark.read.parquet(seg_path)

@@ -64,6 +64,12 @@ class SearchService:
         cache_responses: bool = True,
     ):
         recover(base)  # settle any crashed refresh before reading
+        # drop any stale session cache over this index: a refresh/
+        # compaction swaps directories by os-level rename, which Spark
+        # cannot see — a cached scan from an earlier service instance
+        # would otherwise be silently substituted for our fresh reads
+        # (CacheManager matches semantically identical plans)
+        spark.catalog.refreshByPath(base)
         self.spark = spark
         self.base = base
         # docs_text should be a MATERIALIZED (doc_id, text) table —

@@ -420,3 +420,53 @@ def test_positional_segments_byte_identical_to_cold_rebuild(built):
         for col in ("n_docs", "doc_ids", "counts", "positions",
                     "block_last_doc", "block_off_pos"):
             assert rr[col] == rc[col], (k, col)
+
+
+def test_repack_visible_to_new_service_while_old_stays_open(spark, tmp_path):
+    """Regression: refresh_and_repack swaps directories by os-level
+    rename, which Spark's CacheManager cannot see. With an old
+    SearchService still open (its cached scans of the same paths alive
+    in the session), a service opened AFTER the refresh used to be
+    silently served the PRE-refresh cache — a delta-indexed page
+    vanished from doc_stats/term_stats/df_map even though the on-disk
+    repacked tree was correct. refresh_and_repack must refreshByPath
+    every swapped path so post-swap readers see the new generation."""
+    from searchengine_spark.service import SearchService
+
+    base_docs = corpus_df(spark, 80)
+    inc = str(tmp_path / "inc")
+    idx0 = build_index(base_docs, use_html=True)
+    write_index(idx0, f"{inc}/idx")
+    idx = read_index(spark, f"{inc}/idx")
+    n, avgdl = corpus_constants(idx.doc_stats)
+    write_segments(build_segments(idx, n, avgdl, n_shards=N_SHARDS),
+                   f"{inc}/segments")
+
+    svc1 = SearchService(spark, inc)
+    out = svc1.index_page(
+        "https://site1.example/fresh-page",
+        html="<html><title>Свежая</title> <body>"
+             f"{NEWTERM} поиск</body></html>",
+    )
+    assert out["result"] is True
+    assert svc1.search(NEWTERM, limit=5)["count"] == 1
+
+    # svc1 stays OPEN across the refresh — its caches are the poison
+    refresh_and_repack(spark, inc)
+
+    svc2 = SearchService(spark, inc)
+    try:
+        resp = svc2.search(NEWTERM, limit=5)
+        assert resp["count"] == 1
+        assert resp["data"][0]["url"] == "https://site1.example/fresh-page"
+        assert NEWTERM in svc2.df_map  # term_stats read post-swap state
+        # the raw path reads must see the folded generation too
+        seg = spark.read.parquet(f"{inc}/segments")
+        assert seg.filter(F.col("run_id") != 0).count() == 0
+        assert (
+            spark.read.parquet(f"{inc}/idx/doc_stats")
+            .filter(F.col("doc_id") == out["doc_id"]).count() == 1
+        )
+    finally:
+        svc1.close()
+        svc2.close()
