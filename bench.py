@@ -532,6 +532,19 @@ def main() -> None:
         n = runs if name in light else min(runs, 2)
         queries[name] = timed(lambda: fn(spark, sf_dir).collect(), n=n)
 
+    # SECOND temporally-separated window for the latency sets,
+    # unconditional: a degraded host episode that starts AFTER the
+    # start probe and ends BEFORE the end probe is invisible to both,
+    # yet poisons all N repetitions of the queries that ran inside it
+    # (observed: wand_q9/q10 recorded 6x their true latency with both
+    # probes in band). Per-query min across two windows ~minutes apart
+    # survives any episode shorter than the gap — at ~30 s extra cost.
+    lat = [min(a, b) for a, b in zip(lat, _time_wand_set())]
+    for (qid, *_), dt in zip(QUERIES, lat):
+        queries[f"wand_q{qid}"] = dt
+    svc_lat = [min(a, b) for a, b in zip(svc_lat, _time_service_set())]
+    queries["service_search_median"] = pctl(svc_lat, 0.50)
+
     # end-of-run probe; if either probe was out of band, wait for the
     # phase to pass and re-measure the headline stages once — build/
     # pack AND the wand/service latency sets (a mid-run degradation
@@ -615,7 +628,11 @@ def main() -> None:
             "host phase (fixed-work CPU + JVM kernels vs idle-box "
             "reference) with a bounded wait-then-remeasure protocol "
             "for the headline build/pack stages and the wand/service "
-            "latency sets"
+            "latency sets; the wand/service sets additionally get an "
+            "UNCONDITIONAL second measurement window at end-of-run "
+            "(per-query min across two windows minutes apart — a "
+            "mid-run degraded episode between two in-band probes "
+            "poisoned all 3 repetitions of adjacent queries once)"
         ),
     }
     # latest two-cluster-size scaling evidence (scripts/scaling.py →

@@ -486,6 +486,74 @@ def phrase_search_packed_terms(
     )
 
 
+def _phrase_topk_count_kernel(
+    pdf: pd.DataFrame, phrase: list[str], block: int, k: int,
+    excluded: np.ndarray | None,
+) -> pd.DataFrame:
+    """_phrase_kernel PLUS the shard's pre-pagination match count in
+    the SAME pass (the wand_shard_topk_count shape lifted to phrase
+    retrieval): the shard's top-k rows by (phrase_tf desc, doc_id asc)
+    followed by one count sentinel (doc_id = -1, phrase_tf = shard
+    match count — unambiguous, real doc_ids are ≥ 0 and real matches
+    have phrase_tf ≥ 1 while an empty shard's sentinel carries 0).
+    `excluded` (sorted int64 tombstone deny-list) is applied before
+    counting, replacing the service's post-kernel isin filter."""
+    res = _phrase_kernel(pdf, phrase, block)
+    ids = res["doc_id"].to_numpy(dtype=np.int64)
+    tfs = res["phrase_tf"].to_numpy(dtype=np.int64)
+    if excluded is not None and len(ids):
+        keep = np.searchsorted(excluded, ids)
+        keep_c = np.minimum(keep, len(excluded) - 1)
+        hit = (keep < len(excluded)) & (excluded[keep_c] == ids)
+        ids, tfs = ids[~hit], tfs[~hit]
+    n = len(ids)
+    sel = np.lexsort((ids, -tfs))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": np.concatenate(
+                (ids[sel], np.array([-1], dtype=np.int64))
+            ),
+            "phrase_tf": np.concatenate(
+                (tfs[sel], np.array([n], dtype=np.int64))
+            ),
+        }
+    )
+
+
+def phrase_search_packed_topk_count(
+    spark: SparkSession,
+    pos_segments: DataFrame,
+    phrase: list[str],
+    k: int,
+    excluded_doc_ids: list[int] | None = None,
+    block: int = BLOCK,
+) -> DataFrame:
+    """Fused phrase top-k + match count in ONE kernel pass per shard:
+    ≤ shards·(k+1) rows of (doc_id, phrase_tf) leave the executors —
+    the shard's top-k page candidates plus a doc_id = -1 count
+    sentinel each. The caller merges driver-side: global top-k by
+    (phrase_tf desc, doc_id asc) over the non-sentinel rows, match
+    total = Σ sentinel phrase_tf. Replaces the two-action serve shape
+    (count(), then orderBy().limit()) that executed the phrase kernel
+    twice per request."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0 (got {k})")
+    if not phrase:
+        return spark.createDataFrame([], "doc_id long, phrase_tf long")
+    exc = (
+        np.unique(np.asarray(excluded_doc_ids, dtype=np.int64))
+        if excluded_doc_ids else None
+    )
+    uniq = sorted(set(phrase))
+    segs = pos_segments.filter(F.col("term").isin(uniq))
+    return segs.groupBy("shard").applyInPandas(
+        lambda pdf: _phrase_topk_count_kernel(
+            pdf, list(phrase), block, k, exc
+        ),
+        schema="doc_id long, phrase_tf long",
+    )
+
+
 def phrase_search_packed(
     spark: SparkSession,
     pos_segments: DataFrame,

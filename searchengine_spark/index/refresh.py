@@ -343,6 +343,16 @@ def _recover_pos(base: str, action: str) -> str:
             _swap_in(pos_path, tmp)
         else:
             shutil.rmtree(tmp, ignore_errors=True)
+            if action in ("clean", "forward") and os.path.exists(pos_path):
+                # the MAIN index moved forward (compaction dropped
+                # tombstoned docs from segments/serve_meta) but the
+                # possegs repack was lost — the kept snapshot may hold
+                # rows for docs that no longer exist. Mark it so the
+                # serving layer routes phrase counts through the exact
+                # serve_meta semi-join instead of the fused one-pass
+                # kernel until the next repack/rebuild replaces the
+                # tree (an underscore file — parquet readers skip it).
+                open(os.path.join(pos_path, "_STALE"), "w").close()
     elif os.path.exists(old):
         # crashed inside the possegs swap after tmp→path: new tree is
         # live, the set-aside old one just needs dropping

@@ -114,7 +114,11 @@ def prefix_search(
         n_docs=F.lit(float(n_docs)), avgdl=F.lit(avgdl)
     )
     return (
-        index.postings.filter(F.col("term").isin(terms))
+        # (term, doc_id, tf) projection: materialized postings carry
+        # doclen/ttf/tlen in-row for the pack — unprojected, the
+        # doc_stats join would make `doclen` ambiguous
+        index.postings.select("term", "doc_id", "tf")
+        .filter(F.col("term").isin(terms))
         .join(index.doc_stats.select("doc_id", "doclen"), "doc_id")
         .join(F.broadcast(dfx), "term")
         .groupBy("doc_id")

@@ -177,7 +177,11 @@ def _search_candidates(
     qterms = spark.createDataFrame(qrows)
     term_list = [r["term"] for r in qrows]
 
-    matched = index.postings.filter(
+    # project to the classic (term, doc_id, tf) shape: a MATERIALIZED
+    # postings table carries doclen/ttf/tlen in-row for the segment
+    # pack (explode_term_counts), and the unprojected join against
+    # doc_stats would make `doclen` ambiguous
+    matched = index.postings.select("term", "doc_id", "tf").filter(
         F.col("term").isin(term_list)
     ).join(F.broadcast(qterms), "term")
     # site filter / doclen come from doc_stats; inner join also drops

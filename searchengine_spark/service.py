@@ -730,27 +730,55 @@ class SearchService:
         page landed while the positional layer did not exist yet needs
         refresh_positional() to appear."""
         from .functions.textproc import tokenize_lemmatize
-        from .index.positional import phrase_search_packed_terms
+        from .index.positional import (
+            phrase_search_packed_terms,
+            phrase_search_packed_topk_count,
+        )
 
         phr = tokenize_lemmatize(query)
         if not phr:
             return {"result": True, "count": 0, "data": []}
         self._ensure_positional()
-        hits = phrase_search_packed_terms(
-            self.spark, self.pos_segments, phr
-        )
-        if self.tombstoned:
-            hits = hits.filter(~F.col("doc_id").isin(self.tombstoned))
-        # count only SERVABLE docs (semi-join the living meta): a stale
-        # possegs snapshot — possible after a crash-recovery discard —
-        # may still hold rows for docs compaction removed
-        hits = hits.join(
-            self.serve_meta.select("doc_id"), "doc_id", "left_semi"
-        )
-        count = hits.count()
-        top = hits.orderBy(
-            F.desc("phrase_tf"), F.asc("doc_id")
-        ).limit(limit)
+        if not getattr(self, "_pos_stale", False):
+            # hot path: ONE kernel pass per shard returns the shard's
+            # top-k rows AND a count sentinel (doc_id = -1) — the
+            # fused wand_shard_topk_count shape for phrase retrieval.
+            # Exact because an in-sync possegs references only
+            # servable-or-tombstoned docs, and tombstones are
+            # deny-listed inside the kernel; the stale snapshot a
+            # crash-recovery discard can leave (_STALE marker) routes
+            # through the exact semi-join path below instead.
+            merged = phrase_search_packed_topk_count(
+                self.spark, self.pos_segments, phr, limit,
+                excluded_doc_ids=self.tombstoned or None,
+            ).collect()
+            count = sum(
+                r["phrase_tf"] for r in merged if r["doc_id"] == -1
+            )
+            page = sorted(
+                ((r["doc_id"], r["phrase_tf"]) for r in merged
+                 if r["doc_id"] != -1),
+                key=lambda t: (-t[1], t[0]),
+            )[:limit]
+            top = self.spark.createDataFrame(
+                page or [(-1, 0)], "doc_id long, phrase_tf long"
+            )
+        else:
+            hits = phrase_search_packed_terms(
+                self.spark, self.pos_segments, phr
+            )
+            if self.tombstoned:
+                hits = hits.filter(~F.col("doc_id").isin(self.tombstoned))
+            # count only SERVABLE docs (semi-join the living meta): a
+            # stale possegs snapshot — possible after a crash-recovery
+            # discard — may still hold rows for docs compaction removed
+            hits = hits.join(
+                self.serve_meta.select("doc_id"), "doc_id", "left_semi"
+            )
+            count = hits.count()
+            top = hits.orderBy(
+                F.desc("phrase_tf"), F.asc("doc_id")
+            ).limit(limit)
         rows = sorted(
             self.serve_meta.select("doc_id", "url", "title")
             .join(F.broadcast(top), "doc_id")
@@ -946,11 +974,21 @@ class SearchService:
             return
         from pyspark.errors import AnalysisException
 
+        from .index.manifest import fs_exists
+
         try:
             df = self.spark.read.parquet(f"{self.base}/possegs")
         except AnalysisException:
             self._build_positional()
             df = self.spark.read.parquet(f"{self.base}/possegs")
+        # a crash-recovery discard (refresh._recover_pos) marks a kept
+        # pre-compaction snapshot: its rows may reference docs the main
+        # index no longer serves, so phrase counts must go through the
+        # exact serve_meta semi-join instead of the fused kernel until
+        # a repack/rebuild replaces the tree (which drops the marker)
+        self._pos_stale = fs_exists(
+            self.spark, f"{self.base}/possegs/_STALE"
+        )
         self.pos_segments = df.cache()
         self.pos_segments.count()
 
@@ -973,6 +1011,16 @@ class SearchService:
             build_positional_segments(prepared, self.n_shards),
             f"{self.base}/possegs",
         )
+        # a rebuild is by construction in sync with the corpus — drop
+        # any crash-recovery staleness marker the overwrite may have
+        # preserved (dynamic partitionOverwriteMode keeps root files)
+        import os
+
+        try:
+            os.remove(os.path.join(self.base, "possegs", "_STALE"))
+        except OSError:
+            pass
+        self._pos_stale = False
 
     # -- /api/statistics -----------------------------------------------------
 
@@ -981,7 +1029,7 @@ class SearchService:
         and lemma counts (StatisticsServiceImpl.java:29-78 — pages =
         countBySite, lemmas = per-site distinct lemma count)."""
         per_site = (
-            self.index.postings.join(
+            self.index.postings.select("doc_id", "term").join(
                 self.doc_stats.select("doc_id", "site"), "doc_id"
             )
             .groupBy("site")

@@ -21,6 +21,7 @@ from searchengine_spark.index.segments import build_segments, write_delta_run, w
 from searchengine_spark.index.wand import search_packed
 from searchengine_spark.operators.postings import (
     build_index,
+    prepare_docs,
     prepare_docs_counts,
     read_index,
     write_index,
@@ -470,3 +471,56 @@ def test_repack_visible_to_new_service_while_old_stays_open(spark, tmp_path):
     finally:
         svc1.close()
         svc2.close()
+
+
+def test_recover_marks_discarded_possegs_stale(spark, tmp_path):
+    """Positional staleness lifecycle: when recovery rolls the MAIN
+    state forward but the possegs repack temp is incomplete, the kept
+    pre-compaction snapshot gets the _STALE marker
+    (refresh._recover_pos) — a service over it must route phrase
+    counts through the exact serve_meta semi-join (_pos_stale) instead
+    of the fused kernel — and the next successful repack replaces the
+    tree and clears the marker."""
+    import os
+
+    from searchengine_spark.index.refresh import recover
+    from searchengine_spark.service import SearchService
+
+    b = str(tmp_path / "b")
+    _mini_index(spark, b, delta=True)
+    docs = corpus_df(spark, 60)
+    docs_text = prepare_docs(docs, use_html=True).select("doc_id", "text")
+    svc = SearchService(spark, b, docs_text=docs_text)
+    svc._ensure_positional()  # builds <b>/possegs from docs_text
+    assert svc._pos_stale is False
+    base_phrase = svc.phrase("быстрый поиск", limit=10)
+    svc.close()
+
+    with pytest.raises(RuntimeError, match="injected crash before swap"):
+        refresh_and_repack(spark, b, fail_before_swap=True)
+    # the possegs repack temp died mid-write; main temps are complete
+    os.remove(f"{b}/possegs.refreshing/_SUCCESS")
+    assert recover(b) == "forward"
+    assert os.path.exists(f"{b}/possegs/_STALE")
+
+    svc2 = SearchService(spark, b, docs_text=docs_text)
+    try:
+        svc2._ensure_positional()
+        assert svc2._pos_stale is True
+        # the stale snapshot still serves exact results through the
+        # semi-join path (no removed docs in this scenario, so the
+        # response matches the pre-crash one)
+        assert svc2.phrase("быстрый поиск", limit=10) == base_phrase
+    finally:
+        svc2.close()
+
+    # a completed repack swaps in a fresh tree — marker gone
+    refresh_and_repack(spark, b)
+    assert not os.path.exists(f"{b}/possegs/_STALE")
+    svc3 = SearchService(spark, b, docs_text=docs_text)
+    try:
+        svc3._ensure_positional()
+        assert svc3._pos_stale is False
+        assert svc3.phrase("быстрый поиск", limit=10) == base_phrase
+    finally:
+        svc3.close()

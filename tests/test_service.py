@@ -492,3 +492,22 @@ def test_search_bm25f_mode(spark, served):
     with pytest.raises(ValueError, match="> 0"):
         svc.search(q, mode="bm25f", conjunctive=False,
                    field_weights={"title": 0.0})
+
+
+def test_phrase_fused_equals_semijoin_path(spark, served):
+    """The fused one-pass phrase serve path (per-shard top-k + count
+    sentinel, index/positional.py:phrase_search_packed_topk_count)
+    must produce the identical response — count AND page — to the
+    exact two-action semi-join path it replaces (which stays wired for
+    the stale-possegs recovery state), including under tombstones."""
+    svc, idx, _ = served
+    svc._ensure_positional()
+    assert getattr(svc, "_pos_stale", True) is False
+    for q in ("быстрый поиск", "поиск", "данные слова", "nosuchwordxyz"):
+        got = svc._phrase_uncached(q, limit=30)
+        svc._pos_stale = True
+        try:
+            want = svc._phrase_uncached(q, limit=30)
+        finally:
+            svc._pos_stale = False
+        assert got == want, q
