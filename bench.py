@@ -642,7 +642,17 @@ def main() -> None:
     try:
         with open(scaling_path) as f:
             s = json.load(f)
-        out["scaling_efficiency_n_to_4n"] = s["build_scaling_efficiency"]
+        # headline = the CURRENT code's most recent official run when
+        # recorded; the best historically-attested number rides
+        # alongside (SCALING.json holds the full per-pass history +
+        # same-day phase-control analysis)
+        cur = s.get("build_scaling_efficiency_current_code_r5")
+        out["scaling_efficiency_n_to_4n"] = (
+            cur if cur is not None else s["build_scaling_efficiency"]
+        )
+        out["scaling_efficiency_best_attested"] = s[
+            "build_scaling_efficiency"
+        ]
         out["scaling_levels_cores"] = sorted(int(k) for k in s["levels"])
         out["scaling_docs"] = s["corpus"]["docs"]
     except (OSError, KeyError, ValueError):
@@ -685,7 +695,8 @@ def main() -> None:
         },
         "detail": "BENCH_DETAIL.json",
     }
-    for k in ("scaling_efficiency_n_to_4n", "scaling_levels_cores",
+    for k in ("scaling_efficiency_n_to_4n",
+              "scaling_efficiency_best_attested", "scaling_levels_cores",
               "scaling_docs", "zipf_blocks_decoded_pct"):
         if k in out:
             compact[k] = out[k]

@@ -278,3 +278,44 @@ def test_unpack_repack_positional_roundtrip(spark, prepared, pos_segments):
         for col in ("n_docs", "doc_ids", "counts", "positions",
                     "block_last_doc", "block_off_pos"):
             assert ra[col] == rb[col], (k, col)
+
+
+@pytest.mark.parametrize("k,n_excluded", [(5, 0), (3, 4), (1000, 2)])
+def test_fused_topk_count_kernel(spark, prepared, pos_segments, k,
+                                 n_excluded):
+    """phrase_search_packed_topk_count (the one-pass serve kernel) vs
+    the plain phrase frame: Σ sentinel counts = the exact match total
+    after the deny-list, the non-sentinel rows are a superset of the
+    global top-k (each shard contributes ITS top-k), and the
+    driver-side merge reproduces the global page exactly."""
+    from searchengine_spark.index.positional import (
+        phrase_search_packed_topk_count,
+    )
+
+    phrase = _pick_phrase(prepared, 2)
+    want = _as_dict(
+        phrase_search_packed_terms(spark, pos_segments, phrase)
+    )
+    excluded = sorted(want)[:n_excluded]
+    for d in excluded:
+        want.pop(d)
+
+    rows = phrase_search_packed_topk_count(
+        spark, pos_segments, phrase, k,
+        excluded_doc_ids=excluded or None,
+    ).collect()
+    sentinels = [r for r in rows if r["doc_id"] == -1]
+    got_count = sum(r["phrase_tf"] for r in sentinels)
+    assert got_count == len(want)
+    # ≤ (k+1) rows per shard reach the driver
+    assert len(rows) <= N_SHARDS * (k + 1)
+    page = sorted(
+        ((r["doc_id"], r["phrase_tf"]) for r in rows if r["doc_id"] != -1),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    want_page = sorted(
+        want.items(), key=lambda t: (-t[1], t[0])
+    )[:k]
+    assert page == want_page
+    # excluded docs never appear
+    assert not set(excluded) & {d for d, _ in page}
